@@ -1,0 +1,59 @@
+"""Relaxed-IoU segmentation losses (reference: ``losses.py:90-117``)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def reorder_w(w: jax.Array, matching: jax.Array) -> jax.Array:
+    """Gather predicted columns into GT-instance order.
+
+    Args: w (B, N, K); matching (B, K). Returns (B, N, K) with column k' =
+    predicted column matching[b, k'] (``losses.py:95``).
+    """
+    b, n, k = w.shape
+    return jnp.take_along_axis(
+        w, jnp.broadcast_to(matching[:, None, :], (b, n, k)), axis=2
+    )
+
+
+def compute_miou_loss(
+    w: jax.Array,
+    i_gt: jax.Array,
+    matching: jax.Array,
+    div_eps: float = 1e-10,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-instance relaxed 1 - IoU after matching (``losses.py:90-103``).
+
+    GT background points (label -1) one-hot to zero rows and are excluded
+    from both intersection and union numerators, matching the reference's
+    eye(K+2) trick.
+
+    Returns:
+      loss: (B, K) 1 - relaxed IoU per (matched) instance.
+      w_reordered: (B, N, K) predictions in GT order.
+    """
+    k = w.shape[-1]
+    w_reordered = reorder_w(w, matching)
+    w_gt = jax.nn.one_hot(i_gt, k, dtype=w.dtype)  # -1 -> zero row
+    dot = jnp.sum(w_gt * w_reordered, axis=1)  # (B, K)
+    denom = (
+        jnp.sum(w_gt, axis=1) + jnp.sum(w_reordered, axis=1) - dot + div_eps
+    )
+    return 1.0 - dot / denom, w_reordered
+
+
+def segmentation_iou(
+    w: jax.Array, i_gt: jax.Array, matching: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Eval-time mean IoU over valid instances (``losses.py:106-109``).
+
+    Returns (B,) per-sample mIoU.
+    """
+    loss, _ = compute_miou_loss(w, i_gt, matching)
+    miou = 1.0 - loss
+    maskf = mask.astype(w.dtype)
+    return jnp.sum(maskf * miou, axis=1) / jnp.maximum(
+        jnp.sum(maskf, axis=1), 1.0
+    )

@@ -1,0 +1,247 @@
+"""Batched geometric ops: plane projection, centers, extents, augmentation.
+
+TPU-native equivalents of the reference's per-instance Python loops in
+``data_utils.py``. Data-dependent "segment found / not found" control flow
+becomes masks over fixed shapes; per-(batch, instance) random segment
+sampling is a rank-trick gather keyed by a PRNG key instead of
+``torch.randint`` over dynamic index lists.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from point2cyl_tpu.core.config import ZERO_TOL
+
+
+def add_noise(
+    key: jax.Array,
+    xyz: jax.Array,
+    normals: jax.Array,
+    sigma: float = 0.01,
+) -> jax.Array:
+    """Gaussian per-point displacement along the normal
+    (``data_utils.py:84-96``)."""
+    b, n, _ = xyz.shape
+    noise = sigma * jax.random.normal(key, (b, n, 1), dtype=xyz.dtype)
+    return xyz + noise * normals
+
+
+def random_rotate_with_normal(
+    key: jax.Array, xyz: jax.Array, normals: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Random per-cloud rotation about the y (up) axis, applied to points and
+    normals (``data_utils.py:33-59``; unused by the reference entry points
+    but part of its augmentation inventory)."""
+    b = xyz.shape[0]
+    angles = jax.random.uniform(key, (b,), dtype=xyz.dtype) * (2.0 * jnp.pi)
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    zeros = jnp.zeros_like(c)
+    ones = jnp.ones_like(c)
+    rot = jnp.stack(
+        [c, zeros, s, zeros, ones, zeros, -s, zeros, c], axis=-1
+    ).reshape(b, 3, 3)
+    return jnp.einsum("bnj,bji->bni", xyz, rot), jnp.einsum(
+        "bnj,bji->bni", normals, rot
+    )
+
+
+def estimate_extrusion_centers(w: jax.Array, pcs: jax.Array) -> jax.Array:
+    """Segmentation-weighted point means (``data_utils.py:253-266``).
+
+    Note the reference divides by N (a plain mean over points), not by the
+    weight mass — reproduced exactly.
+
+    Args: w (B, N, K) soft weights; pcs (B, N, 3).
+    Returns: (B, K, 3) centers.
+    """
+    n = pcs.shape[1]
+    return (
+        jnp.einsum(
+            "bnk,bnc->bkc", w, pcs, preferred_element_type=jnp.float32
+        )
+        / n
+    )
+
+
+def segment_masks(
+    seg_label: jax.Array,
+    bb_labels: jax.Array | None,
+    k: int,
+) -> jax.Array:
+    """(B, K, N) bool membership masks.
+
+    With ``bb_labels`` given, only barrel points (bb == 0) are members,
+    mirroring the gt_W_b construction at ``data_utils.py:1018-1024``;
+    without, all instance points count (the ``sketch_implicit_projection3``
+    all-points variant, ``data_utils.py:1294``).
+    """
+    member = seg_label[:, None, :] == jnp.arange(k)[None, :, None]
+    if bb_labels is not None:
+        member = member & (bb_labels[:, None, :] == 0)
+    return member
+
+
+def sample_segment_points(
+    key: jax.Array,
+    masks: jax.Array,
+    num_samples: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Uniform-with-replacement sampling of member indices per (b, k).
+
+    Fixed-shape replacement for the reference's dynamic
+    ``torch.randint(0, count, (S,))`` over gathered index lists
+    (``data_utils.py:1061-1065``): member indices are brought to the front
+    with a stable argsort, then ``S`` uniform draws in [0, count) select
+    among them.
+
+    Args:
+      masks: (B, K, N) bool membership.
+      num_samples: S, samples per segment.
+
+    Returns:
+      idx: (B, K, S) int32 point indices (arbitrary when a segment is
+        empty — consumers must apply ``found``).
+      found: (B, K) bool, True when the segment has >= 2 member points (the
+        reference's "1 point found is considered no points" rule,
+        ``data_utils.py:1055-1058``).
+    """
+    b, k, n = masks.shape
+    order = jnp.argsort(~masks, axis=-1, stable=True)  # members first
+    count = jnp.sum(masks, axis=-1)  # (B, K)
+    r = jax.random.randint(
+        key, (b, k, num_samples), 0, jnp.maximum(count, 1)[..., None]
+    )
+    idx = jnp.take_along_axis(order, r, axis=-1).astype(jnp.int32)
+    return idx, count > 1
+
+
+def rotation_to_z(axis: jax.Array, tol: float = ZERO_TOL) -> jax.Array:
+    """Rotation matrices taking each unit ``axis`` to +z.
+
+    Exact Rodrigues alignment R = I + [u]x + [u]x^2 / (1 + c) with
+    u = axis x z, c = axis . z. The reference builds this rotation through
+    ``tgm.angle_axis_to_rotation_matrix`` fed an UN-normalized axis-angle
+    vector (``data_utils.py:1099-1101``, |v| = theta*sin(theta) instead of
+    theta), which only aligns exactly for theta in {0, 90deg} — a defect not
+    reproduced here. For (anti)parallel axes (|u| ~ 0) identity is returned,
+    matching the reference's effective behavior at theta ~ 180deg (zero
+    cross product -> identity); the xy-projection plane is identical.
+
+    Args: axis (..., 3) unit vectors. Returns (..., 3, 3).
+    """
+    c = axis[..., 2]
+    # u = axis x z = (axis_y, -axis_x, 0); [u]x^2 = u u^T - |u|^2 I, so R is
+    # closed-form elementwise (no 3x3 matmul -> no bf16 MXU rounding on TPU).
+    ux = axis[..., 1]
+    uy = -axis[..., 0]
+    d = jnp.where(jnp.abs(1.0 + c) > tol, 1.0 + c, 1.0)
+    r = jnp.stack(
+        [
+            1.0 - uy * uy / d,
+            ux * uy / d,
+            uy,
+            ux * uy / d,
+            1.0 - ux * ux / d,
+            -ux,
+            -uy,
+            ux,
+            c,
+        ],
+        axis=-1,
+    ).reshape(*c.shape, 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis.dtype), r.shape)
+    aligned = (1.0 + c) <= tol  # antiparallel: keep identity
+    return jnp.where(aligned[..., None, None], eye, r)
+
+
+def sketch_projection(
+    key: jax.Array,
+    points: jax.Array,
+    normals: jax.Array,
+    seg_label: jax.Array,
+    bb_labels: jax.Array | None,
+    axes: jax.Array,
+    centers: jax.Array,
+    num_samples: int = 1024,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Project per-instance (barrel) points to centered 2D sketch planes.
+
+    Batched equivalent of ``sketch_implicit_projection{,2,3}``
+    (``data_utils.py:1014-1417``): sample S member points per instance,
+    rotate the extrusion axis to +z, drop z, center by the projected
+    centroid, and report the max-norm scale. Passing ``bb_labels=None``
+    selects the all-points variant (projection3). Unfound segments are
+    zeroed (the reference leaves centroid residue in them and masks
+    downstream; here the mask is authoritative).
+
+    Args:
+      points: (B, N, 3); normals: (B, N, 3).
+      seg_label: (B, N) instance ids; bb_labels: (B, N) 0=barrel/1=base
+        or None.
+      axes: (B, K, 3) unit extrusion axes; centers: (B, K, 3).
+
+    Returns:
+      p2d: (B, K, S, 2) centered projected points.
+      n2d: (B, K, S, 2) projected (unnormalized) 2D normals.
+      scales: (B, K) max point norm per sketch; 1.0 where not found
+        (``data_utils.py:1144``).
+      found: (B, K) bool segment-found mask.
+    """
+    k = axes.shape[1]
+    masks = segment_masks(seg_label, bb_labels, k)
+    idx, found = sample_segment_points(key, masks, num_samples)
+    pts = jnp.take_along_axis(
+        points[:, None].repeat(k, axis=1), idx[..., None], axis=2
+    )  # (B, K, S, 3)
+    nrm = jnp.take_along_axis(
+        normals[:, None].repeat(k, axis=1), idx[..., None], axis=2
+    )
+    rot = rotation_to_z(axes)  # (B, K, 3, 3)
+    p_rot = jnp.einsum("bkij,bksj->bksi", rot, pts)[..., :2]
+    n_rot = jnp.einsum("bkij,bksj->bksi", rot, nrm)[..., :2]
+    c_rot = jnp.einsum("bkij,bkj->bki", rot, centers)[..., :2]
+    p2d = p_rot - c_rot[:, :, None, :]
+    scale = jnp.max(
+        jnp.sqrt(jnp.sum(p2d * p2d, axis=-1) + 1e-20), axis=-1
+    )  # (B, K)
+    foundf = found[..., None, None].astype(points.dtype)
+    p2d = p2d * foundf
+    n2d = n_rot * foundf
+    scales = jnp.where(found, scale, 1.0)
+    return p2d, n2d, scales, found
+
+
+def extrusion_extents(
+    key: jax.Array,
+    points: jax.Array,
+    seg_label: jax.Array,
+    bb_labels: jax.Array,
+    axes: jax.Array,
+    centers: jax.Array,
+    num_samples: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Min/max of axis-projections of sampled barrel points per instance.
+
+    Equivalent of ``get_extrusion_extents`` (``data_utils.py:1650-1730``),
+    including its quirk that unfound segments contribute zero sample points
+    (so their extents collapse to -center.axis).
+
+    Returns:
+      extents: (B, K, 2) [min, max] signed distances along the axis.
+      found: (B, K) bool.
+    """
+    k = axes.shape[1]
+    masks = segment_masks(seg_label, bb_labels, k)
+    idx, found = sample_segment_points(key, masks, num_samples)
+    pts = jnp.take_along_axis(
+        points[:, None].repeat(k, axis=1), idx[..., None], axis=2
+    )  # (B, K, S, 3)
+    pts = pts * found[..., None, None].astype(points.dtype)
+    centered = pts - centers[:, :, None, :]
+    dist = jnp.einsum("bksj,bkj->bks", centered, axes)
+    return (
+        jnp.stack([jnp.min(dist, axis=-1), jnp.max(dist, axis=-1)], axis=-1),
+        found,
+    )
