@@ -1,0 +1,59 @@
+"""Checkpointing via orbax.
+
+Reference semantics (``train_Point2Cyl_without_sketch.py:395-430``):
+``checkpoint_{epoch:04d}`` every N epochs, a rolling ``model``, and a
+``best_model`` gated on epoch > 20 and improved mean epoch loss. Unlike
+the reference (which drops optimizer state), the full TrainState —
+params, BN stats, optimizer moments, step — is saved, so resume is exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, logdir: str):
+        self.logdir = os.path.abspath(logdir)
+        os.makedirs(self.logdir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.logdir, name)
+
+    def save(self, name: str, state: Any) -> None:
+        self._ckptr.save(self._path(name), state, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore(self, name: str, template: Any) -> Any:
+        return self._ckptr.restore(self._path(name), template)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    def save_epoch(
+        self,
+        epoch: int,
+        state: Any,
+        mean_loss: float,
+        best_loss: float,
+        every: int = 10,
+        best_after: int = 20,
+    ) -> float:
+        """Reference cadence; returns the (possibly updated) best loss."""
+        if epoch % every == 0:
+            self.save(f"checkpoint_{epoch:04d}", state)
+            self.save("model", state)
+            if epoch > best_after and mean_loss < best_loss:
+                best_loss = mean_loss
+                self.save("best_model", state)
+        return best_loss
+
+
+def host_state(state: Any) -> Any:
+    """Fetch a device TrainState to host for saving."""
+    return jax.device_get(state)

@@ -1,0 +1,159 @@
+"""PointNet++-style segmentation backbone.
+
+Capability twin of the reference ``backbone``
+(``models/pointnet_extrusion.py:8-66``): three set-abstraction stages
+(FPS -> ball query -> shared MLP -> neighborhood max), three
+feature-propagation stages (3-NN inverse-distance upsampling + shared MLP),
+a shared FC stage with dropout, and one dense head per requested output size
+([3, 2K] for normals + joint extrusion/base-barrel segmentation,
+``train_Point2Cyl_without_sketch.py:183-197``).
+
+TPU-first differences from the reference: channels-last layout end to end
+(heads are (B*N, C) matmuls on the MXU, no permutes), FPS/ball-query as
+fused fixed-shape XLA programs, BN momentum as a traced argument so the
+reference's staircase BN-decay schedule doesn't trigger recompiles, and an
+optional bf16 compute dtype for the MLP stacks.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from point2cyl_tpu.core.config import BackboneConfig
+from point2cyl_tpu.models.layers import PointMLP, TorchBatchNorm, TorchDense
+from point2cyl_tpu.ops.grouping import (
+    sample_and_group,
+    sample_and_group_all,
+    three_nn_interpolate,
+)
+from point2cyl_tpu.ops.sampling import farthest_point_sample
+
+
+class SetAbstraction(nn.Module):
+    """FPS + ball-query grouping + shared MLP + neighborhood max
+    (``pointnet_util.py:166-207``)."""
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Sequence[int]
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool, bn_momentum=0.1):
+        fps_key = self.make_rng("sample") if train else None
+        fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+        new_xyz, grouped = sample_and_group(
+            self.npoint, self.radius, self.nsample, xyz, feats, fps_idx
+        )
+        grouped = PointMLP(self.mlp, dtype=self.dtype)(
+            grouped, train=train, bn_momentum=bn_momentum
+        )
+        return new_xyz, jnp.max(grouped, axis=2)  # max over nsample
+
+
+class GlobalAbstraction(nn.Module):
+    """Group-all variant (``pointnet_util.py:146-163,194-195``)."""
+
+    mlp: Sequence[int]
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool, bn_momentum=0.1):
+        new_xyz, grouped = sample_and_group_all(xyz, feats)
+        grouped = PointMLP(self.mlp, dtype=self.dtype)(
+            grouped, train=train, bn_momentum=bn_momentum
+        )
+        return new_xyz, jnp.max(grouped, axis=2)
+
+
+class FeaturePropagation(nn.Module):
+    """3-NN inverse-distance upsampling + shared MLP
+    (``pointnet_util.py:270-320``); a single source point broadcasts
+    instead (the S == 1 branch at ``pointnet_util.py:298-299``)."""
+
+    mlp: Sequence[int]
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(
+        self, xyz_dst, xyz_src, feats_dst, feats_src, train: bool,
+        bn_momentum=0.1,
+    ):
+        n = xyz_dst.shape[1]
+        if xyz_src.shape[1] == 1:
+            interpolated = jnp.broadcast_to(
+                feats_src, (feats_src.shape[0], n, feats_src.shape[2])
+            )
+        else:
+            interpolated = three_nn_interpolate(xyz_dst, xyz_src, feats_src)
+        if feats_dst is not None:
+            interpolated = jnp.concatenate([feats_dst, interpolated], axis=-1)
+        return PointMLP(self.mlp, dtype=self.dtype)(
+            interpolated, train=train, bn_momentum=bn_momentum
+        )
+
+
+class Backbone(nn.Module):
+    """Full per-point prediction backbone.
+
+    Call with ``pts`` of shape (B, N, 3) (plus optional (B, N, C) features
+    when ``normal_channel``-style extra inputs are used). Returns one
+    (B, N, out) array per entry of ``cfg.output_sizes``.
+
+    RNG streams: 'sample' (FPS random starts, train only), 'dropout'.
+    """
+
+    cfg: BackboneConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        pts,
+        feats=None,
+        train: bool = False,
+        bn_momentum: jax.Array | float = 0.1,
+    ):
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        c = self.cfg
+
+        xyz, f = pts, feats
+        skips = [(xyz, f)]
+        for i in range(len(c.sa_npoints)):
+            xyz, f = SetAbstraction(
+                c.sa_npoints[i], c.sa_radii[i], c.sa_nsamples[i],
+                c.sa_mlps[i], dtype=dtype,
+            )(xyz, f, train=train, bn_momentum=bn_momentum)
+            skips.append((xyz, f))
+        g_xyz, g_f = GlobalAbstraction(c.sa_global_mlp, dtype=dtype)(
+            xyz, f, train=train, bn_momentum=bn_momentum
+        )
+        skips.append((g_xyz, g_f))
+
+        # Feature propagation back down the pyramid: (sa3->sa2, sa2->sa1,
+        # sa1->input), mirroring fp3/fp2/fp1 at pointnet_extrusion.py:25-27.
+        feats_up = g_f
+        xyz_up = g_xyz
+        for i, mlp in enumerate(c.fp_mlps):
+            dst_xyz, dst_f = skips[-(i + 2)]
+            feats_up = FeaturePropagation(mlp, dtype=dtype)(
+                dst_xyz, xyz_up, dst_f, feats_up, train=train,
+                bn_momentum=bn_momentum,
+            )
+            xyz_up = dst_xyz
+
+        # Shared FC stage: dense + BN + relu + dropout
+        # (pointnet_extrusion.py:30-31,58-60).
+        h = TorchDense(c.fc_width, dtype=dtype)(feats_up)
+        h = TorchBatchNorm(c.fc_width)(h, train=train, momentum=bn_momentum)
+        h = jax.nn.relu(h)
+        h = nn.Dropout(rate=c.dropout_rate, deterministic=not train)(h)
+
+        # One head per output size (pointnet_extrusion.py:32-34,62-65).
+        return [
+            TorchDense(out, dtype=dtype)(h) for out in c.output_sizes
+        ]

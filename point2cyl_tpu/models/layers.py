@@ -1,0 +1,121 @@
+"""Shared neural building blocks.
+
+Channels-LAST throughout: the reference's Conv1d/Conv2d with kernel size 1
+(``models/pointnet_util.py:176,277``) are per-point dense layers, which on
+TPU are plain matmuls over the trailing feature axis — no transposes, the
+MXU sees (B*N, C) x (C, C') directly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_linear_init(fan_in: int):
+    """Kaiming-uniform(a=sqrt(5)) kernel + matching bias init, the PyTorch
+    Conv/Linear default the reference trains under — kept so training
+    dynamics are comparable. Equivalent to U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound
+        )
+
+    return init
+
+
+class TorchDense(nn.Module):
+    """Dense layer with torch-default initialization."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_linear_init(fan_in), (fan_in, self.features)
+        )
+        bias = self.param("bias", torch_linear_init(fan_in), (self.features,))
+        dtype = self.dtype or x.dtype
+        y = jnp.dot(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return y + bias
+
+
+class TorchBatchNorm(nn.Module):
+    """Batch normalization with torch semantics and a DYNAMIC momentum.
+
+    The reference trainers decay BN momentum on a staircase schedule by
+    mutating module attributes mid-training
+    (``train_Point2Cyl_without_sketch.py:143-156,357-360``); a static flax
+    hyperparameter would force a recompile at every schedule step, so
+    momentum is a traced argument here. Torch conventions: normalize with
+    the biased batch variance, update running stats as
+    running = (1 - m) * running + m * batch (unbiased variance), eps 1e-5.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self, x, train: bool, momentum: jax.Array | float = 0.1
+    ):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,)
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        ra_mean = self.variable(
+            "batch_stats",
+            "mean",
+            lambda: jnp.zeros(self.features, jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats",
+            "var",
+            lambda: jnp.ones(self.features, jnp.float32),
+        )
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            var = jnp.var(x, axes)
+            n = x.size // self.features
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                ra_mean.value = (
+                    1.0 - momentum
+                ) * ra_mean.value + momentum * mean
+                ra_var.value = (
+                    1.0 - momentum
+                ) * ra_var.value + momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class PointMLP(nn.Module):
+    """Stack of per-point Dense + BN + ReLU layers (the shared-MLP pattern
+    of ``pointnet_util.py:201-205,317-320``)."""
+
+    widths: Sequence[int]
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool, bn_momentum=0.1):
+        for width in self.widths:
+            x = TorchDense(width, dtype=self.dtype)(x)
+            x = TorchBatchNorm(width)(x, train=train, momentum=bn_momentum)
+            x = jax.nn.relu(x)
+        return x

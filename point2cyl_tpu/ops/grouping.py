@@ -24,9 +24,19 @@ def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
     Returns:
       (B, N, M) squared distances. Mirrors ``pointnet_util.py:19-40`` —
       computed as |s|^2 + |d|^2 - 2 s.d so the inner product rides the MXU.
+
+    Precision note: the cross term MUST run at full f32 (Precision.HIGHEST).
+    The TPU default bf16 matmul gives absolute errors ~0.1 for unit-sphere
+    clouds — larger than the ball-query radius^2 of 0.04 — which corrupts
+    neighborhood membership and can even make self-distances negative. The
+    contraction axis is only C=3, so this costs nothing.
     """
     cross = jnp.einsum(
-        "bnc,bmc->bnm", src, dst, preferred_element_type=jnp.float32
+        "bnc,bmc->bnm",
+        src,
+        dst,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
     s2 = jnp.sum(src * src, axis=-1)
     d2 = jnp.sum(dst * dst, axis=-1)
@@ -45,7 +55,11 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """
     b = points.shape[0]
     flat_idx = idx.reshape(b, -1)
-    out = jnp.take_along_axis(points, flat_idx[:, :, None], axis=1)
+    # mode="clip": out-of-bounds gathers clamp instead of JAX's default
+    # fill-with-NaN (cheaper, and robust if a pad index slips through).
+    out = jnp.take_along_axis(
+        points, flat_idx[:, :, None], axis=1, mode="clip"
+    )
     return out.reshape(*idx.shape, points.shape[-1])
 
 

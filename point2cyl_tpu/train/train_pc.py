@@ -1,0 +1,209 @@
+"""Trainer A: pc-proxy training without the implicit sketch stack.
+
+Capability twin of ``train_Point2Cyl_without_sketch.py`` with its CLI flag
+names preserved (``:28-61``), plus ``--synthetic N`` to train on the
+built-in generator when no h5 pack is available. The whole optimizer step is
+one jitted XLA program; batches shard over the data mesh axis.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from point2cyl_tpu.core.checkpoint import CheckpointManager, host_state
+from point2cyl_tpu.core.config import BackboneConfig, LossWeights, TrainConfig
+from point2cyl_tpu.core.logging import TrainLogger
+from point2cyl_tpu.data.h5_io import load_h5
+from point2cyl_tpu.data.pipeline import InputPipeline
+from point2cyl_tpu.data.synthetic import generate_dataset
+from point2cyl_tpu.models.backbone import Backbone
+from point2cyl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from point2cyl_tpu.train import steps
+
+
+def build_model(cfg: TrainConfig, num_points: int, k: int) -> Backbone:
+    """Head sizes per prediction flags
+    (``train_Point2Cyl_without_sketch.py:183-197``): [3 or dummy 1,
+    2K | K | dummy 1]."""
+    sizes = [3 if cfg.pred_normal else 1]
+    if cfg.pred_seg and cfg.pred_bb:
+        sizes.append(2 * k)
+    elif cfg.pred_seg:
+        sizes.append(k)
+    else:
+        sizes.append(1)
+    return Backbone(
+        BackboneConfig(
+            num_points=num_points,
+            output_sizes=tuple(sizes),
+            compute_dtype=cfg.compute_dtype,
+        )
+    )
+
+
+def train(
+    cfg: TrainConfig,
+    num_points: int,
+    k: int,
+    h5_path: str | None = None,
+    synthetic: int | None = None,
+    synthetic_resolution: int = 8192,
+) -> steps.TrainState:
+    logger = TrainLogger(cfg.logdir)
+    logger.log(f"config: {cfg}")
+
+    if synthetic:
+        ds = generate_dataset(
+            synthetic, resolution=synthetic_resolution, max_instances=k,
+            seed=cfg.seed,
+        )
+    else:
+        ds = load_h5(h5_path)
+    pipeline = InputPipeline(ds, num_points, k, seed=cfg.seed)
+
+    mesh = make_mesh(cfg.data_parallel)
+    model = build_model(cfg, num_points, k)
+    tx = steps.make_optimizer(cfg)
+    key = jax.random.key(cfg.seed)
+    key, k_init = jax.random.split(key)
+    state = steps.init_state(model, cfg, tx, k_init, num_points)
+    state = replicate(mesh, state)
+    train_step = steps.make_train_step(model, cfg, tx)
+
+    ckpt = CheckpointManager(cfg.logdir)
+    best_loss = float("inf")
+    steps_per_epoch = max(pipeline.num_samples // cfg.batch_size, 1)
+
+    for epoch in range(1, cfg.num_epochs + 1):
+        t0 = time.time()
+        key, k_epoch = jax.random.split(key)
+        for i, batch in enumerate(
+            pipeline.epochs(cfg.batch_size, k_epoch)
+        ):
+            batch = shard_batch(mesh, batch)
+            key, k_step = jax.random.split(key)
+            state, aux = train_step(state, batch, k_step)
+            gstep = epoch * steps_per_epoch + i
+            for tag, val in aux.items():
+                logger.scalar(f"Loss/{tag}", float(val), gstep)
+            if i % 10 == 0:
+                logger.log(
+                    "Epoch: {}/{} | Batch [{:04d}/{:04d}] | "
+                    "total {:.4f} | normal {:.4f} | mIOU {:.4f} | "
+                    "bb {:.4f} | ext {:.4f} | center {:.4f}".format(
+                        epoch, cfg.num_epochs, i, steps_per_epoch,
+                        float(aux["total"]), float(aux["normal"]),
+                        float(aux["miou"]), float(aux["bb"]),
+                        float(aux["extrusion"]), float(aux["center"]),
+                    )
+                )
+        means = logger.epoch_means()
+        logger.log(
+            f"> Epoch {epoch:04d} done in {time.time() - t0:.1f}s | "
+            + " | ".join(f"{k_}: {v:.4f}" for k_, v in means.items())
+        )
+        best_loss = ckpt.save_epoch(
+            epoch,
+            host_state(state),
+            means.get("Loss/total", float("inf")),
+            best_loss,
+            every=cfg.checkpoint_every_epochs,
+            best_after=cfg.best_after_epoch,
+        )
+    logger.close()
+    return state
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """Reference-compatible CLI (``train_Point2Cyl_without_sketch.py:28-61``)."""
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_point", type=int, default=8192)
+    p.add_argument("--K", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--logdir", default="Point2Cyl_without_sketch", type=str)
+    p.add_argument("--data_dir", type=str, default="data/")
+    p.add_argument("--data_split", default="train", type=str)
+    p.add_argument("--num_epochs", type=int, default=300)
+    p.add_argument("--decay_step", type=int, default=200_000)
+    p.add_argument("--bn_decay_step", type=int, default=200_000)
+    p.add_argument("--decay_rate", type=float, default=0.7)
+    p.add_argument("--learning_rate", type=float, default=0.001)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--pred_seg", action="store_true")
+    p.add_argument("--pred_normal", action="store_true")
+    p.add_argument("--pred_bb", action="store_true")
+    p.add_argument("--pred_extrusion", action="store_true")
+    p.add_argument("--pred_center", action="store_true")
+    p.add_argument("--norm_eig", action="store_true")
+    p.add_argument("--weight_seg", type=float, default=1.0)
+    p.add_argument("--weight_normal", type=float, default=1.0)
+    p.add_argument("--weight_bb", type=float, default=1.0)
+    p.add_argument("--weight_extrusion", type=float, default=1.0)
+    p.add_argument("--weight_center", type=float, default=1.0)
+    p.add_argument("--add_noise", action="store_true")
+    p.add_argument("--noise_sigma", type=float, default=0.01)
+    # TPU-framework extensions
+    p.add_argument("--synthetic", type=int, default=None,
+                   help="train on N synthetic solids instead of h5 data")
+    p.add_argument("--synthetic_resolution", type=int, default=8192)
+    p.add_argument("--data_parallel", type=int, default=None)
+    p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    return TrainConfig(
+        batch_size=args.batch_size,
+        num_epochs=args.num_epochs,
+        learning_rate=args.learning_rate,
+        decay_step=args.decay_step,
+        decay_rate=args.decay_rate,
+        bn_decay_step=args.bn_decay_step,
+        add_noise=args.add_noise,
+        noise_sigma=args.noise_sigma,
+        pred_seg=args.pred_seg,
+        pred_normal=args.pred_normal,
+        pred_bb=args.pred_bb,
+        pred_extrusion=args.pred_extrusion,
+        pred_center=args.pred_center,
+        norm_eig=args.norm_eig,
+        weights=LossWeights(
+            seg=args.weight_seg,
+            normal=args.weight_normal,
+            base_barrel=args.weight_bb,
+            extrusion_axis=args.weight_extrusion,
+            center=args.weight_center,
+        ),
+        logdir=args.logdir,
+        seed=args.seed,
+        data_parallel=args.data_parallel,
+        compute_dtype=args.compute_dtype,
+    )
+
+
+def cli_main() -> None:
+    args = build_argparser().parse_args()
+    cfg = config_from_args(args)
+    h5_path = None
+    if not args.synthetic:
+        import os
+
+        h5_path = os.path.join(args.data_dir, args.data_split + ".h5")
+    train(
+        cfg,
+        num_points=args.num_point,
+        k=args.K,
+        h5_path=h5_path,
+        synthetic=args.synthetic,
+        synthetic_resolution=args.synthetic_resolution,
+    )
+
+
+if __name__ == "__main__":
+    cli_main()
