@@ -1,0 +1,137 @@
+"""Evaluator metric tests: oracle inputs must produce oracle metrics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from point2cyl_tpu.core.config import EvalConfig
+from point2cyl_tpu.data.pipeline import InputPipeline
+from point2cyl_tpu.data.synthetic import generate_dataset
+from point2cyl_tpu.eval import metrics as M
+
+RNG = np.random.default_rng(7)
+K = 4
+
+
+def gt_batch():
+    ds = generate_dataset(
+        num_samples=2, resolution=1024, max_instances=K,
+        num_sketch_points=64, seed=1,
+    )
+    pipe = InputPipeline(ds, num_points=512, max_instances=K,
+                         num_sketch_points=64)
+    return next(pipe.epochs(2, jax.random.key(0), shuffle=False))
+
+
+def perfect_w2k(batch):
+    """Build the 2K-way soft segmentation implied by GT labels."""
+    i_gt = np.asarray(batch["extrusion_labels"])
+    bb = np.asarray(batch["base_barrel_labels"])
+    b, n = i_gt.shape
+    w2k = np.full((b, n, 2 * K), 1e-6, np.float32)
+    cols = 2 * i_gt + bb
+    for bi in range(b):
+        w2k[bi, np.arange(n), cols[bi]] = 1.0
+    w2k /= w2k.sum(-1, keepdims=True)
+    return jnp.asarray(w2k)
+
+
+def test_perfect_prediction_gives_perfect_metrics():
+    batch = gt_batch()
+    w2k = perfect_w2k(batch)
+    w_barrel, w_base = w2k[:, :, ::2], w2k[:, :, 1::2]
+    w = w_barrel + w_base
+    i_gt = batch["extrusion_labels"]
+
+    seg = M.segmentation_metrics(w, i_gt)
+    np.testing.assert_allclose(np.asarray(seg.miou), 1.0, atol=1e-3)
+
+    acc, _ = M.base_barrel_accuracy(w2k, batch["base_barrel_labels"])
+    np.testing.assert_allclose(np.asarray(acc), 1.0)
+
+    cfg = EvalConfig()
+    wb, wc, ea_w = M.axis_estimation_weights(
+        cfg, seg, w, w_barrel, w_base, w2k, i_gt,
+        batch["base_barrel_labels"],
+    )
+    err, axes = M.axis_metrics(
+        cfg, batch["normals"], batch["normals"], wb, wc, i_gt,
+        batch["base_barrel_labels"], batch["extrusion_axes"],
+    )
+    # perfect normals + perfect segmentation -> sub-degree axis error
+    assert np.asarray(err).max() < 1.0
+
+
+def test_gt_oracle_axis_path():
+    batch = gt_batch()
+    w2k = perfect_w2k(batch)
+    w_barrel, w_base = w2k[:, :, ::2], w2k[:, :, 1::2]
+    w = w_barrel + w_base
+    i_gt = batch["extrusion_labels"]
+    seg = M.segmentation_metrics(w, i_gt)
+    cfg = EvalConfig(
+        use_gt_normals=True, use_gt_segmentation=True, use_gt_bb=True
+    )
+    wb, wc, ea_w = M.axis_estimation_weights(
+        cfg, seg, w, w_barrel, w_base, w2k, i_gt,
+        batch["base_barrel_labels"],
+    )
+    # oracle weights are the exact one-hot barrel/base masks
+    assert set(np.unique(np.asarray(wb))) <= {0.0, 1.0}
+    err, _ = M.axis_metrics(
+        cfg, batch["normals"], batch["normals"], wb, wc, i_gt,
+        batch["base_barrel_labels"], batch["extrusion_axes"],
+    )
+    assert np.asarray(err).max() < 0.5
+
+
+def test_hard_segment_centers():
+    pts = jnp.asarray(RNG.normal(size=(1, 8, 3)).astype(np.float32))
+    ea_w = np.zeros((1, 8, 2), np.float32)
+    ea_w[0, :3, 0] = 1.0  # instance 0: points 0..2
+    ea_w[0, 3:4, 1] = 1.0  # instance 1: a single point -> not found
+    centers, found = M.hard_segment_centers(pts, jnp.asarray(ea_w))
+    np.testing.assert_array_equal(np.asarray(found), [[True, False]])
+    np.testing.assert_allclose(
+        np.asarray(centers)[0, 0], np.asarray(pts)[0, :3].mean(0), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(centers)[0, 1], 0.0)
+
+
+def test_fitting_losses_with_circle_sdf():
+    """A perfect unit-circle SDF on unit-circle sketches gives ~zero
+    fitting loss."""
+    batch = gt_batch()
+    i_gt = batch["extrusion_labels"]
+    gt_bb = batch["base_barrel_labels"]
+    axes = batch["extrusion_axes"]
+    centers = batch["extrusion_centers"]
+    b, n, _ = batch["point_cloud"].shape
+
+    def circle_sdf(x):
+        # x: (M, S, L+2), last two dims are the 2D point
+        pts2 = x[..., -2:]
+        return (jnp.linalg.norm(pts2, axis=-1) - 1.0)[..., None]
+
+    # scales = true max-radius of each projected sketch -> after /scale the
+    # barrel boundary is NOT exactly the unit circle for polygons, but for
+    # the circle-profile instances the residual is ~0. Use the projection's
+    # own scale and only check the loss is small and finite.
+    from point2cyl_tpu.ops.geometry import sketch_projection
+
+    _, _, scales, _ = sketch_projection(
+        jax.random.key(5), batch["point_cloud"], batch["normals"],
+        i_gt, gt_bb, axes, centers, num_samples=64,
+    )
+    latents = jnp.zeros((b, axes.shape[1], 4))
+    valid = jnp.ones((b, axes.shape[1]), bool)
+    per_cyl, glob = M.fitting_losses(
+        circle_sdf, jax.random.key(6), batch["point_cloud"],
+        batch["normals"], i_gt, gt_bb, axes, centers, scales, latents,
+        valid, 64,
+    )
+    per_cyl, glob = np.asarray(per_cyl), np.asarray(glob)
+    assert np.isfinite(per_cyl).all() and np.isfinite(glob).all()
+    # barrel points scaled to max-norm 1 lie near the unit circle
+    assert per_cyl.max() < 0.5
+    assert glob.max() < 0.5
