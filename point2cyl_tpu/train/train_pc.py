@@ -115,6 +115,9 @@ def train(
             every=cfg.checkpoint_every_epochs,
             best_after=cfg.best_after_epoch,
         )
+    # final rolling save regardless of cadence (the reference only saves on
+    # 10-epoch boundaries, losing tail epochs)
+    ckpt.save("model", host_state(state))
     logger.close()
     return state
 

@@ -1,0 +1,122 @@
+"""Joint trainer and IGR pretraining tests (tiny shapes, CPU)."""
+
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from point2cyl_tpu.core.config import TrainConfig
+from point2cyl_tpu.data.pipeline import InputPipeline
+from point2cyl_tpu.data.synthetic import generate_dataset
+from point2cyl_tpu.losses.igr import igr_losses, latent_loss
+from point2cyl_tpu.train import train_joint as TJ
+
+K = 4
+SK = 32
+
+
+def setup(is_pc_train=True, is_im_train=True):
+    cfg = TrainConfig(
+        batch_size=2, num_epochs=1, pred_seg=True, pred_normal=True,
+        pred_bb=True, pred_extrusion=True, pred_center=True,
+        logdir=tempfile.mkdtemp(),
+    )
+    ds = generate_dataset(
+        num_samples=2, resolution=512, max_instances=K,
+        num_sketch_points=SK, seed=3,
+    )
+    pipe = InputPipeline(ds, num_points=128, max_instances=K,
+                         num_sketch_points=SK)
+    nets = TJ.build_nets(cfg, 128, K, False, False)
+    tx = TJ.make_joint_optimizer(cfg, is_pc_train, is_im_train)
+    state = TJ.init_joint_state(
+        *nets, tx, jax.random.key(0), 128, SK
+    )
+    return cfg, pipe, nets, tx, state
+
+
+def test_joint_step_runs_and_updates():
+    cfg, pipe, nets, tx, state = setup()
+    backbone, implicit, encoder, loaded_encoder = nets
+    step = TJ.make_joint_train_step(
+        backbone, implicit, encoder, loaded_encoder, cfg, tx, SK,
+        is_pc_train=True, is_im_train=True, with_im_loss=True,
+        is_l2=True, use_gt_im=False,
+    )
+    batch = next(pipe.epochs(2, jax.random.key(1)))
+    # host snapshots: the train step donates its input state buffers
+    pc_before = [np.asarray(x) for x in jax.tree.leaves(state.pc_params)]
+    enc_before = [np.asarray(x) for x in jax.tree.leaves(state.enc_params)]
+    im_before = np.asarray(jax.tree.leaves(state.im_params)[0])
+    new_state, aux = step(state, batch, jax.random.key(2))
+    for name in ("total", "im_total", "latent", "manifold", "eikonal",
+                 "sald", "miou", "normal"):
+        assert np.isfinite(float(aux[name])), name
+    # pc and encoder params updated
+    pc_delta = sum(
+        float(np.abs(a - np.asarray(b)).sum())
+        for a, b in zip(pc_before, jax.tree.leaves(new_state.pc_params))
+    )
+    enc_delta = sum(
+        float(np.abs(a - np.asarray(b)).sum())
+        for a, b in zip(enc_before, jax.tree.leaves(new_state.enc_params))
+    )
+    assert pc_delta > 0 and enc_delta > 0
+    # frozen implicit decoder untouched
+    im_after = jax.tree.leaves(new_state.im_params)[0]
+    np.testing.assert_array_equal(im_before, np.asarray(im_after))
+
+
+def test_joint_step_freezes_pc_when_not_pc_train():
+    cfg, pipe, nets, tx, state = setup(is_pc_train=False, is_im_train=True)
+    backbone, implicit, encoder, loaded_encoder = nets
+    step = TJ.make_joint_train_step(
+        backbone, implicit, encoder, loaded_encoder, cfg, tx, SK,
+        is_pc_train=False, is_im_train=True, with_im_loss=False,
+        is_l2=False, use_gt_im=True,
+    )
+    batch = next(pipe.epochs(2, jax.random.key(1)))
+    pc_before = [np.asarray(x) for x in jax.tree.leaves(state.pc_params)]
+    new_state, aux = step(state, batch, jax.random.key(2))
+    pc_delta = sum(
+        float(np.abs(a - np.asarray(b)).sum())
+        for a, b in zip(pc_before, jax.tree.leaves(new_state.pc_params))
+    )
+    assert pc_delta == 0.0
+    # total is the im-only loss when pc is frozen (train_Point2Cyl.py:700)
+    np.testing.assert_allclose(
+        float(aux["total"]), float(aux["im_total"]), atol=1e-6
+    )
+
+
+def test_im_pretraining_decreases_loss():
+    cfg, pipe, nets, tx_unused, state = setup()
+    _, implicit, encoder, _ = nets
+    tx = optax.adam(1e-3)
+    im_vars = implicit.init(jax.random.key(0), jnp.zeros((1, 258)))
+    enc_vars = encoder.init(
+        jax.random.key(1), jnp.zeros((1, SK, 4)), train=True
+    )
+    params = {"im": im_vars["params"], "enc": enc_vars["params"]}
+    bn = enc_vars["batch_stats"]
+    opt_state = tx.init(params)
+    step = TJ.make_im_pretrain_step(implicit, encoder, tx)
+    key = jax.random.key(2)
+    losses = []
+    for epoch in range(20):
+        for batch in pipe.epochs(2, jax.random.fold_in(key, epoch)):
+            key, k = jax.random.split(key)
+            params, bn, opt_state, aux = step(params, bn, opt_state, batch, k)
+            losses.append(float(aux["total"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_latent_loss_modes():
+    lat = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 8)))
+    lat = lat / jnp.linalg.norm(lat, axis=-1, keepdims=True)
+    mask = jnp.ones((2, 3), bool)
+    assert float(latent_loss(lat, lat, mask, use_l2=True)) < 1e-10
+    assert abs(float(latent_loss(lat, lat, mask, use_l2=False))) < 1e-5
