@@ -19,7 +19,8 @@ from point2cyl_tpu.models.backbone import Backbone
 
 TARGET = 1000.0  # clouds/sec/chip (BASELINE.json north-star)
 N_POINTS = 8192
-BATCH = 16
+BATCH = 64  # amortizes the sequential FPS iterations; B=32 hits an XLA
+            # layout pathology on v5e — avoid
 WARMUP = 3
 ITERS = 10
 

@@ -51,6 +51,14 @@ class BackboneConfig:
     output_sizes: Sequence[int] = (3, 16)
     # Compute dtype for the MLP stacks (params stay float32).
     compute_dtype: str = "float32"
+    # Approximate neighbor selection (lax.approx_max_k) in ball query and
+    # 3-NN interpolation — ~14x faster than exact top_k on TPU and
+    # statistically equivalent to the reference (see ops/grouping.py).
+    approx_neighbors: bool = True
+    # 3-NN interpolation backend: "auto" uses the fused Pallas kernel on
+    # TPU (exact, no HBM distance matrix) and XLA elsewhere;
+    # "xla" / "pallas" force a path.
+    knn_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -42,13 +42,15 @@ class SetAbstraction(nn.Module):
     nsample: int
     mlp: Sequence[int]
     dtype: jnp.dtype | None = None
+    approx: bool = False
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool, bn_momentum=0.1):
         fps_key = self.make_rng("sample") if train else None
         fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
         new_xyz, grouped = sample_and_group(
-            self.npoint, self.radius, self.nsample, xyz, feats, fps_idx
+            self.npoint, self.radius, self.nsample, xyz, feats, fps_idx,
+            approx=self.approx,
         )
         grouped = PointMLP(self.mlp, dtype=self.dtype)(
             grouped, train=train, bn_momentum=bn_momentum
@@ -78,6 +80,8 @@ class FeaturePropagation(nn.Module):
 
     mlp: Sequence[int]
     dtype: jnp.dtype | None = None
+    approx: bool = False
+    knn_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -90,7 +94,23 @@ class FeaturePropagation(nn.Module):
                 feats_src, (feats_src.shape[0], n, feats_src.shape[2])
             )
         else:
-            interpolated = three_nn_interpolate(xyz_dst, xyz_src, feats_src)
+            use_pallas = self.knn_impl == "pallas" or (
+                self.knn_impl == "auto"
+                and jax.default_backend() != "cpu"
+                and n % 256 == 0
+            )
+            if use_pallas:
+                from point2cyl_tpu.ops.pallas_knn import (
+                    three_nn_interpolate_pallas,
+                )
+
+                interpolated = three_nn_interpolate_pallas(
+                    xyz_dst, xyz_src, feats_src, tile=min(512, n)
+                )
+            else:
+                interpolated = three_nn_interpolate(
+                    xyz_dst, xyz_src, feats_src, approx=self.approx
+                )
         if feats_dst is not None:
             interpolated = jnp.concatenate([feats_dst, interpolated], axis=-1)
         return PointMLP(self.mlp, dtype=self.dtype)(
@@ -126,7 +146,7 @@ class Backbone(nn.Module):
         for i in range(len(c.sa_npoints)):
             xyz, f = SetAbstraction(
                 c.sa_npoints[i], c.sa_radii[i], c.sa_nsamples[i],
-                c.sa_mlps[i], dtype=dtype,
+                c.sa_mlps[i], dtype=dtype, approx=c.approx_neighbors,
             )(xyz, f, train=train, bn_momentum=bn_momentum)
             skips.append((xyz, f))
         g_xyz, g_f = GlobalAbstraction(c.sa_global_mlp, dtype=dtype)(
@@ -140,7 +160,10 @@ class Backbone(nn.Module):
         xyz_up = g_xyz
         for i, mlp in enumerate(c.fp_mlps):
             dst_xyz, dst_f = skips[-(i + 2)]
-            feats_up = FeaturePropagation(mlp, dtype=dtype)(
+            feats_up = FeaturePropagation(
+                mlp, dtype=dtype, approx=c.approx_neighbors,
+                knn_impl=c.knn_impl,
+            )(
                 dst_xyz, xyz_up, dst_f, feats_up, train=train,
                 bn_momentum=bn_momentum,
             )

@@ -68,6 +68,7 @@ def ball_query(
     nsample: int,
     xyz: jax.Array,
     new_xyz: jax.Array,
+    approx: bool = False,
 ) -> jax.Array:
     """Indices of up to ``nsample`` points within ``radius`` of each query.
 
@@ -76,6 +77,14 @@ def ball_query(
     with rows short of ``nsample`` padded by their first selected index. The
     query centers come from FPS so index 0 of each row is always valid
     (a point is within radius of itself).
+
+    ``approx=True`` swaps the exact ``top_k`` (the dominant cost of the
+    whole backbone on TPU, ~14x slower than the rest of this op) for
+    ``lax.approx_max_k``. The result is still `nsample` in-radius indices,
+    just not exactly the lowest ones — statistically equivalent to the
+    reference, whose "lowest indices" are already an arbitrary subset
+    because the dataloader randomly permutes point order per sample
+    (``dataloader.py:71-75``).
 
     Args:
       radius: ball radius.
@@ -96,7 +105,11 @@ def ball_query(
         -jax.lax.broadcasted_iota(jnp.int32, sqrdists.shape, 2),
         jnp.int32(-n),
     )
-    top, _ = jax.lax.top_k(ranks, nsample)  # descending -> ascending indices
+    if approx:
+        top, _ = jax.lax.approx_max_k(ranks.astype(jnp.float32), nsample)
+        top = top.astype(jnp.int32)
+    else:
+        top, _ = jax.lax.top_k(ranks, nsample)
     idx = -top
     first = idx[:, :, :1]
     return jnp.where(top == -n, first, idx)
@@ -107,6 +120,7 @@ def three_nn_interpolate(
     xyz_src: jax.Array,
     feats_src: jax.Array,
     eps: float = 1e-8,
+    approx: bool = False,
 ) -> jax.Array:
     """Inverse-distance weighted 3-NN feature interpolation.
 
@@ -125,7 +139,12 @@ def three_nn_interpolate(
       (B, N, D) interpolated features.
     """
     d = square_distance(xyz_dst, xyz_src)  # (B, N, S)
-    neg_top, idx = jax.lax.top_k(-d, 3)  # 3 smallest distances
+    if approx:
+        # recall_target=1.0 on approx_max_k still uses the fast partial-
+        # reduction path when it can satisfy it exactly for small k
+        neg_top, idx = jax.lax.approx_max_k(-d, 3, recall_target=0.99)
+    else:
+        neg_top, idx = jax.lax.top_k(-d, 3)  # 3 smallest distances
     dists = -neg_top
     recip = 1.0 / (dists + eps)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
@@ -140,6 +159,7 @@ def sample_and_group(
     xyz: jax.Array,
     feats: jax.Array | None,
     fps_idx: jax.Array,
+    approx: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Group local neighborhoods around FPS centers.
 
@@ -158,7 +178,7 @@ def sample_and_group(
     """
     del npoint  # implied by fps_idx
     new_xyz = index_points(xyz, fps_idx)
-    idx = ball_query(radius, nsample, xyz, new_xyz)
+    idx = ball_query(radius, nsample, xyz, new_xyz, approx=approx)
     grouped_xyz = index_points(xyz, idx)  # (B, S, nsample, 3)
     grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
     if feats is not None:
