@@ -36,6 +36,33 @@ def staircase_bn_momentum(
     return jnp.maximum(init * rate**p, 1.0 - clip)
 
 
+class StepLearningRateSchedule:
+    """IGR-style step schedule object (``IGR/general.py:70-77``; factory at
+    ``IGR/network.py:176-198``): lr = initial * factor^(epoch // interval)."""
+
+    def __init__(self, initial: float, interval: int, factor: float):
+        self.initial = initial
+        self.interval = interval
+        self.factor = factor
+
+    def get_learning_rate(self, epoch) -> float:
+        return self.initial * (self.factor ** (epoch // self.interval))
+
+
+def get_learning_rate_schedules(specs: list) -> list:
+    """Schedule factory keyed on spec["Type"] (``IGR/network.py:176-198``)."""
+    out = []
+    for spec in specs:
+        if spec["Type"] != "Step":
+            raise ValueError(f"unknown schedule type {spec['Type']}")
+        out.append(
+            StepLearningRateSchedule(
+                spec["Initial"], spec["Interval"], spec["Factor"]
+            )
+        )
+    return out
+
+
 def make_optax_lr_schedule(
     batch_size: int,
     init_lr: float,

@@ -89,6 +89,42 @@ def save_h5(path: str, ds: PackedDataset) -> None:
             )
 
 
+def load_model_h5(path: str, mesh_info: bool = False) -> dict:
+    """Single-model h5 loader (``utils.py:1115-1154``): keys point_cloud,
+    normals, extrusion_labels, extrusion_axes, extrusion_distances,
+    n_instances, plus optional mesh arrays (vertices, faces, face_normals,
+    face_extrusion_labels, norm_factor) and operation."""
+    out = {}
+    with h5py.File(path, "r") as f:
+        for key in (
+            "point_cloud", "normals", "extrusion_labels", "extrusion_axes",
+            "extrusion_distances", "n_instances",
+        ):
+            out[key] = f[key][:]
+        if "operation" in f:
+            out["operation"] = f["operation"][:]
+        if mesh_info:
+            for key in (
+                "vertices", "faces", "face_normals",
+                "face_extrusion_labels", "norm_factor",
+            ):
+                out[key] = f[key][:]
+    return out
+
+
+def save_model_h5(path: str, model: dict) -> None:
+    """Write a single-model h5 in the ``get_model`` schema."""
+    with h5py.File(path, "w") as f:
+        for key, val in model.items():
+            val = np.asarray(val)
+            dtype = (
+                "int32" if np.issubdtype(val.dtype, np.integer) else "float32"
+            )
+            f.create_dataset(
+                key, data=val.astype(dtype), compression="gzip", dtype=dtype
+            )
+
+
 def load_h5(path: str) -> PackedDataset:
     """Read a reference-schema h5 file; all optional keys that exist are
     loaded (superset of the reference's flag-gated loads,

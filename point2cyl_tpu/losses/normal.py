@@ -29,6 +29,33 @@ def normal_loss(
     return jnp.mean(per_point, axis=-1) if collapse else per_point
 
 
+def axis_normal_regularization_loss(
+    normals: jax.Array,
+    axes: jax.Array,
+    gt_bb_labels: jax.Array,
+    gt_instances: jax.Array,
+) -> jax.Array:
+    """Barrel-dot minus base-dot regularizer (``losses.py:253-312``, unused
+    by the reference entry points but part of its loss inventory): barrel
+    normals should be perpendicular to their instance axis (|dot| small),
+    base normals parallel (|dot| large).
+
+    Args: normals (B, N, 3); axes (B, K, 3); labels (B, N).
+    Returns (B, K).
+    """
+    k = axes.shape[1]
+    w_b = (
+        jax.nn.one_hot(gt_instances, k, dtype=normals.dtype)
+        * (gt_bb_labels == 0).astype(normals.dtype)[..., None]
+    )  # (B, N, K)
+    dots = jnp.abs(
+        jnp.einsum("bnd,bkd->bnk", normals, axes)
+    )
+    barrel_dots = w_b * dots
+    base_dots = (1.0 - w_b) * dots
+    return jnp.mean(barrel_dots - base_dots, axis=1)
+
+
 def normal_difference(
     x: jax.Array,
     x_gt: jax.Array,

@@ -47,6 +47,42 @@ def random_rotate_with_normal(
     )
 
 
+def random_rotate_discretized(
+    key: jax.Array, xyz: jax.Array, normals: jax.Array, num_bins: int = 4
+) -> tuple[jax.Array, jax.Array]:
+    """Random rotation about y snapped to ``num_bins`` discrete angles
+    (``data_utils.py:61-82``)."""
+    b = xyz.shape[0]
+    bins = jax.random.randint(key, (b,), 0, num_bins)
+    angles = bins.astype(xyz.dtype) * (2.0 * jnp.pi / num_bins)
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    zeros = jnp.zeros_like(c)
+    ones = jnp.ones_like(c)
+    rot = jnp.stack(
+        [c, zeros, s, zeros, ones, zeros, -s, zeros, c], axis=-1
+    ).reshape(b, 3, 3)
+    return jnp.einsum("bnj,bji->bni", xyz, rot), jnp.einsum(
+        "bnj,bji->bni", normals, rot
+    )
+
+
+def sketch_plane_projection_3d(
+    points: jax.Array, axes: jax.Array, centers: jax.Array
+) -> jax.Array:
+    """Project points onto the 3D sketch plane through ``centers`` with
+    normal ``axes`` (the training-era projection family of
+    ``data_utils.py:269-876``, all superseded by the 2D
+    ``sketch_projection`` in the live entry points — kept for capability
+    parity): p' = p - ((p - c) . a) a.
+
+    Args: points (B, N, 3); axes / centers (B, K, 3).
+    Returns (B, K, N, 3).
+    """
+    rel = points[:, None, :, :] - centers[:, :, None, :]
+    dist = jnp.einsum("bknd,bkd->bkn", rel, axes)
+    return points[:, None, :, :] - dist[..., None] * axes[:, :, None, :]
+
+
 def estimate_extrusion_centers(w: jax.Array, pcs: jax.Array) -> jax.Array:
     """Segmentation-weighted point means (``data_utils.py:253-266``).
 
