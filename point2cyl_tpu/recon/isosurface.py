@@ -59,8 +59,62 @@ _CASE_INSIDE = {m: int(np.flatnonzero([m >> i & 1 for i in range(4)])[0])
                 for m in _CASES}
 
 
-def marching_tetrahedra(
+def marching_tetrahedra_native(
     volume: np.ndarray, level: float = 0.0, spacing=(1.0, 1.0, 1.0)
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """C++ streaming extractor (``native/isosurface.cpp``): O(output)
+    memory — required at the visualizer's default 512^3 resolution, where
+    the vectorized numpy path would materialize tens of GB of per-cell
+    corner tensors. Returns None when the native library is unavailable."""
+    import ctypes
+
+    from point2cyl_tpu import native
+
+    lib = native.load("isosurface")
+    if lib is None:
+        return None
+    lib.march_tets.restype = ctypes.c_int
+    lib.march_tets.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    vol = np.ascontiguousarray(volume, np.float32)
+    d, h, w = vol.shape
+    verts_ptr = ctypes.POINTER(ctypes.c_float)()
+    faces_ptr = ctypes.POINTER(ctypes.c_int32)()
+    nv = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    rc = lib.march_tets(
+        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        d, h, w, ctypes.c_float(level),
+        spacing[0], spacing[1], spacing[2],
+        ctypes.byref(verts_ptr), ctypes.byref(nv),
+        ctypes.byref(faces_ptr), ctypes.byref(nf),
+    )
+    if rc != 0:
+        return None
+    try:
+        verts = np.ctypeslib.as_array(verts_ptr, (nv.value, 3)).copy() \
+            if nv.value else np.zeros((0, 3), np.float32)
+        faces = np.ctypeslib.as_array(faces_ptr, (nf.value, 3)).copy() \
+            if nf.value else np.zeros((0, 3), np.int32)
+    finally:
+        lib.p2c_free(verts_ptr)
+        lib.p2c_free(faces_ptr)
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def marching_tetrahedra(
+    volume: np.ndarray,
+    level: float = 0.0,
+    spacing=(1.0, 1.0, 1.0),
+    impl: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Extract the ``level`` isosurface of a (D, H, W) scalar volume.
 
@@ -68,7 +122,16 @@ def marching_tetrahedra(
     skimage's marching-cubes convention that the reference's PLY export
     unflips at ``data_utils.py:2300-2304`` — and faces (F, 3), consistently
     oriented with normals pointing toward higher values (outside)).
+
+    ``impl``: "auto" prefers the streaming C++ extractor (falls back to
+    numpy); "native" / "numpy" force a path.
     """
+    if impl in ("auto", "native"):
+        out = marching_tetrahedra_native(volume, level, spacing)
+        if out is not None:
+            return out
+        if impl == "native":
+            raise RuntimeError("native isosurface library unavailable")
     volume = np.asarray(volume, np.float64)
     d, h, w = volume.shape
     if min(d, h, w) < 2:

@@ -51,6 +51,31 @@ def test_marching_tetrahedra_sphere():
     assert outward.mean() > 0.99
 
 
+def test_native_matches_numpy_extractor():
+    """The C++ streaming extractor and the numpy one agree on geometry."""
+    from point2cyl_tpu.recon.isosurface import marching_tetrahedra_native
+
+    vol, lin = sphere_volume(32, 0.55)
+    sp = (lin[1] - lin[0],) * 3
+    out = marching_tetrahedra_native(vol, 0.0, sp)
+    if out is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    v_c, f_c = out
+    v_n, f_n = marching_tetrahedra(vol, 0.0, spacing=sp, impl="numpy")
+    # same face count (same tet triangulation), equivalent geometry
+    assert len(f_c) == len(f_n)
+    np.testing.assert_allclose(
+        mesh_volume(v_c - 1.0, f_c), mesh_volume(v_n - 1.0, f_n), rtol=1e-4
+    )
+    r = np.linalg.norm(v_c - 1.0, axis=-1)
+    np.testing.assert_allclose(r.mean(), 0.55, atol=0.01)
+    tri = (v_c - 1.0)[f_c]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    assert (np.einsum("fd,fd->f", n, tri.mean(1)) > 0).all()
+
+
 def test_ply_roundtrip():
     verts = RNG.normal(size=(10, 3)).astype(np.float32)
     faces = RNG.integers(0, 10, size=(5, 3)).astype(np.int32)
