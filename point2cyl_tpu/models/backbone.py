@@ -43,11 +43,24 @@ class SetAbstraction(nn.Module):
     mlp: Sequence[int]
     dtype: jnp.dtype | None = None
     approx: bool = False
+    fps_impl: str = "auto"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool, bn_momentum=0.1):
         fps_key = self.make_rng("sample") if train else None
-        fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+        use_pallas_fps = self.fps_impl == "pallas" or (
+            self.fps_impl == "auto" and jax.default_backend() != "cpu"
+        )
+        if use_pallas_fps:
+            from point2cyl_tpu.ops.pallas_fps import (
+                farthest_point_sample_pallas,
+            )
+
+            fps_idx = farthest_point_sample_pallas(
+                xyz, self.npoint, key=fps_key
+            )
+        else:
+            fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
         new_xyz, grouped = sample_and_group(
             self.npoint, self.radius, self.nsample, xyz, feats, fps_idx,
             approx=self.approx,
@@ -147,6 +160,7 @@ class Backbone(nn.Module):
             xyz, f = SetAbstraction(
                 c.sa_npoints[i], c.sa_radii[i], c.sa_nsamples[i],
                 c.sa_mlps[i], dtype=dtype, approx=c.approx_neighbors,
+                fps_impl=c.fps_impl,
             )(xyz, f, train=train, bn_momentum=bn_momentum)
             skips.append((xyz, f))
         g_xyz, g_f = GlobalAbstraction(c.sa_global_mlp, dtype=dtype)(
