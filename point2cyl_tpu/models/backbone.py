@@ -117,8 +117,9 @@ class FeaturePropagation(nn.Module):
                     three_nn_interpolate_pallas,
                 )
 
+                # positional args: custom_vjp functions reject keywords
                 interpolated = three_nn_interpolate_pallas(
-                    xyz_dst, xyz_src, feats_src, tile=min(512, n)
+                    xyz_dst, xyz_src, feats_src, 1e-8, min(512, n)
                 )
             else:
                 interpolated = three_nn_interpolate(

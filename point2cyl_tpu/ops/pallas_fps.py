@@ -65,6 +65,10 @@ def farthest_point_sample_pallas(
         start = jax.random.randint(key, (1, b), 0, n, dtype=jnp.int32)
     else:
         start = jnp.full((1, b), start_idx, dtype=jnp.int32)
+    # indices carry no gradients (the reference's FPS indices don't
+    # either); stop_gradient keeps autodiff from tracing into the kernel,
+    # which has no JVP rule
+    xyz = jax.lax.stop_gradient(xyz)
     planes = jnp.transpose(xyz, (2, 0, 1)).astype(jnp.float32)  # (3, B, N)
     return pl.pallas_call(
         functools.partial(_fps_kernel, npoint=npoint),

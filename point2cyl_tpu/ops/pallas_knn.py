@@ -62,6 +62,64 @@ def _knn3_kernel(dst_ref, src_ref, feats_ref, out_ref, *, eps: float):
     ).astype(out_ref.dtype)
 
 
+def _knn3_weights_kernel(dst_ref, src_ref, w_ref, *, eps: float):
+    """Materialize the (T, S) 3-hot normalized weight matrix only (used by
+    the backward pass)."""
+    q = dst_ref[0]
+    p = src_ref[0]
+    t = q.shape[0]
+    s = p.shape[0]
+    cross = jax.lax.dot_general(
+        q, p,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    d = (
+        jnp.sum(q * q, axis=1, keepdims=True)
+        + jnp.sum(p * p, axis=1)[None, :]
+        - 2.0 * cross
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
+    weights = jnp.zeros((t, s), jnp.float32)
+    wsum = jnp.zeros((t, 1), jnp.float32)
+    dcur = d
+    for _ in range(3):
+        idx = jnp.argmin(dcur, axis=1)
+        onehot = (col == idx[:, None]).astype(jnp.float32)
+        dk = jnp.min(dcur, axis=1, keepdims=True)
+        wk = 1.0 / (dk + eps)
+        weights = weights + onehot * wk
+        wsum = wsum + wk
+        dcur = jnp.where(onehot > 0, jnp.inf, dcur)
+    w_ref[0] = weights / wsum
+
+
+def _interp_weights(xyz_dst, xyz_src, eps, tile):
+    b, n, _ = xyz_dst.shape
+    s = xyz_src.shape[1]
+    return pl.pallas_call(
+        functools.partial(_knn3_weights_kernel, eps=eps),
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile, 3), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, s, 3), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, s), lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, s), jnp.float32),
+    )(xyz_dst, xyz_src)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def three_nn_interpolate_pallas(
     xyz_dst: jax.Array,
     xyz_src: jax.Array,
@@ -75,8 +133,17 @@ def three_nn_interpolate_pallas(
     Args: xyz_dst (B, N, 3); xyz_src (B, S, 3); feats_src (B, S, C) with
     N % tile == 0 (reference shapes are powers of two).
 
+    Differentiable w.r.t. ``feats_src`` (cotangent W^T g, exact). The
+    position cotangents are zero — exact for parameter gradients because in
+    this architecture point coordinates are never functions of trainable
+    parameters (they are the input cloud and FPS-gathered subsets of it).
+
     Returns (B, N, C).
     """
+    return _interp_fwd_impl(xyz_dst, xyz_src, feats_src, eps, tile)
+
+
+def _interp_fwd_impl(xyz_dst, xyz_src, feats_src, eps, tile):
     b, n, _ = xyz_dst.shape
     s = xyz_src.shape[1]
     c = feats_src.shape[-1]
@@ -107,6 +174,35 @@ def three_nn_interpolate_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, c), feats_src.dtype),
     )(xyz_dst, xyz_src, feats_src)
+
+
+def _interp_fwd(xyz_dst, xyz_src, feats_src, eps, tile):
+    out = _interp_fwd_impl(xyz_dst, xyz_src, feats_src, eps, tile)
+    return out, (xyz_dst, xyz_src)
+
+
+def _interp_bwd(eps, tile, res, g):
+    xyz_dst, xyz_src = res
+    n = xyz_dst.shape[1]
+    w = _interp_weights(
+        jax.lax.stop_gradient(xyz_dst),
+        jax.lax.stop_gradient(xyz_src),
+        eps,
+        min(tile, n),
+    )  # (B, N, S)
+    d_feats = jnp.einsum(
+        "bns,bnc->bsc", w, g,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+    return (
+        jnp.zeros_like(xyz_dst),
+        jnp.zeros_like(xyz_src),
+        d_feats,
+    )
+
+
+three_nn_interpolate_pallas.defvjp(_interp_fwd, _interp_bwd)
 
 
 def on_tpu() -> bool:
