@@ -58,6 +58,11 @@ def make_eval_step(
         if cfg.pred_seg:
             seg = M.segmentation_metrics(heads.w, i_gt)
             out["miou"] = seg.miou
+            # labels for visualization (eval.py:322-326: invalid columns
+            # forced to -1 before the argmax)
+            w_vis = reorder_w(seg.w_hard, seg.matching)
+            w_vis = jnp.where(seg.mask[:, None, :], w_vis, -1.0)
+            out["pred_labels"] = jnp.argmax(w_vis, axis=-1)
         else:
             seg = M.SegMetrics(
                 jnp.ones((b,)),
@@ -75,8 +80,9 @@ def make_eval_step(
             out["normal_error_deg"] = jnp.zeros((b,))
 
         if cfg.pred_bb:
-            acc, _ = M.base_barrel_accuracy(heads.w_2k, gt_bb)
+            acc, pred_bb_labels = M.base_barrel_accuracy(heads.w_2k, gt_bb)
             out["bb_accuracy"] = acc
+            out["pred_bb_labels"] = pred_bb_labels
         else:
             out["bb_accuracy"] = jnp.zeros((b,))
 
@@ -138,6 +144,7 @@ def make_eval_step(
             )
             out["fit_cyl_loss"] = per_cyl
             out["fit_global_loss"] = glob
+            out["latents"] = latents
         return out
 
     return eval_step
@@ -155,14 +162,25 @@ def evaluate(
     batch_size: int,
     seed: int = 0,
     log=print,
+    visu_dir: str | None = None,
 ) -> dict:
     """Run the full metric sweep; returns the metric means
-    (``eval.py:697-722``)."""
+    (``eval.py:697-722``). With ``visu_dir``, also emit labeled point
+    clouds + render.sh (``eval.py:659-664``) and per-instance SDF contour
+    plots (``eval.py:667-692``)."""
     eval_step = make_eval_step(
         backbone, implicit, encoder, cfg, pipeline.num_sketch_points or 1024
     )
+    writer = None
+    if visu_dir:
+        from point2cyl_tpu.recon.render_scripts import RenderScriptWriter
+
+        writer = RenderScriptWriter(visu_dir)
     key = jax.random.key(seed)
     sums, count = {}, 0
+    per_sample_keys = (
+        "pred_labels", "pred_bb_labels", "latents", "extents"
+    )
     t0 = time.time()
     for i, batch in enumerate(
         pipeline.epochs(batch_size, jax.random.key(seed), shuffle=False)
@@ -172,13 +190,44 @@ def evaluate(
             backbone_vars, implicit_vars, encoder_vars, batch, k
         )
         b = int(batch["point_cloud"].shape[0])
-        count += b
         for name, val in out.items():
-            if name == "extents":
+            if name in per_sample_keys:
                 continue
             sums[name] = sums.get(name, 0.0) + float(jnp.sum(val))
+        if writer is not None:
+            import numpy as _np
+
+            pts_np = _np.asarray(batch["point_cloud"])
+            gt_np = _np.asarray(batch["extrusion_labels"])
+            miou_np = _np.asarray(out["miou"])
+            pred_np = _np.asarray(
+                out.get("pred_labels", gt_np)
+            )
+            for j in range(b):
+                name = f"{i}_{j}_{miou_np[j]:.3f}"
+                writer.add_pointcloud(name, pts_np[j], pred_np[j], gt_np[j])
+            if implicit is not None and "latents" in out:
+                from point2cyl_tpu.recon.plots import plot_surface_2d
+
+                lat_np = _np.asarray(out["latents"])
+                n_inst = _np.asarray(
+                    jnp.max(batch["extrusion_labels"], axis=1) + 1
+                )
+                def sdf_fn(x):
+                    return implicit.apply(implicit_vars, x)
+
+                for j in range(b):
+                    for kk in range(int(n_inst[j])):
+                        plot_surface_2d(
+                            sdf_fn, visu_dir, f"{i}_{j}", str(kk),
+                            lat_np[j, kk], resolution=128,
+                        )
+        count += b
         if i % 20 == 0:
             log(f"Time elapsed: {time.time() - t0:.1f} sec for batch {i}.")
+    if writer is not None:
+        render_sh, image_sh = writer.finalize()
+        log(f"Wrote {render_sh} and {image_sh}")
     means = {name: s / max(count, 1) for name, s in sums.items()}
 
     log("=" * 20)
@@ -316,6 +365,7 @@ def cli_main() -> None:
     evaluate(
         b_vars, im_vars, enc_vars, backbone, implicit, encoder, pipeline,
         cfg, args.batch_size, seed=args.seed,
+        visu_dir=args.dump_dir if args.visu else None,
     )
 
 

@@ -57,3 +57,17 @@ def segmentation_iou(
     return jnp.sum(maskf * miou, axis=1) / jnp.maximum(
         jnp.sum(maskf, axis=1), 1.0
     )
+
+
+def weighted_segmentation_iou(
+    w: jax.Array, i_gt: jax.Array, matching: jax.Array, weights: jax.Array
+) -> jax.Array:
+    """Point-count-weighted IoU (``losses.py:111-117``, unused by the
+    reference entry points but part of its loss inventory).
+
+    Args: weights (B, K) per-instance point counts. Returns (B,).
+    """
+    n = w.shape[1]
+    loss, _ = compute_miou_loss(w, i_gt, matching)
+    miou = 1.0 - loss
+    return jnp.sum(miou * weights / float(n), axis=1)

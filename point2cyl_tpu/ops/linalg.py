@@ -137,3 +137,24 @@ def estimate_extrusion_axis(
         preferred_element_type=jnp.float32,
     )
     return smallest_eigenvector_sym3x3(m)
+
+
+def estimate_extrusion_axis_separate(
+    normals: jax.Array,
+    w_bb: jax.Array,
+    w_seg: jax.Array,
+    bb_labels: jax.Array | None = None,
+    inst_labels: jax.Array | None = None,
+    normalize: bool = False,
+) -> jax.Array:
+    """Separate-head variant (``data_utils.py:179-251``): base/barrel comes
+    from a 2-way head instead of the interleaved 2K head; barrel/base
+    weights are the products w_seg * w_bb[:, :, 0|1].
+
+    Args: w_bb (B, N, 2) with column 0 = barrel; w_seg (B, N, K).
+    """
+    w_barrel = w_seg * w_bb[:, :, :1]
+    w_base = w_seg * w_bb[:, :, 1:2]
+    return estimate_extrusion_axis(
+        normals, w_barrel, w_base, bb_labels, inst_labels, normalize
+    )
