@@ -57,3 +57,58 @@ class CheckpointManager:
 def host_state(state: Any) -> Any:
     """Fetch a device TrainState to host for saving."""
     return jax.device_get(state)
+
+
+def restore_backbone_vars(mgr: CheckpointManager, name: str, b_vars: dict):
+    """Restore backbone {params, batch_stats} from either layout: a full
+    trainer-A TrainState or a plain {params, batch_stats} dict (exported by
+    the joint trainer as 'pc_model'). Returns updated vars or None."""
+    if not mgr.exists(name):
+        return None
+    plain = {
+        "params": b_vars["params"],
+        "batch_stats": b_vars["batch_stats"],
+    }
+    try:
+        loaded = mgr.restore(name, plain)
+        return {
+            "params": loaded["params"],
+            "batch_stats": loaded["batch_stats"],
+        }
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from point2cyl_tpu.core.config import TrainConfig
+    from point2cyl_tpu.train.steps import TrainState, make_optimizer
+
+    # the trainer's optimizer (scheduled adam) so opt_state structures match
+    tx = make_optimizer(TrainConfig())
+    template = TrainState(
+        params=b_vars["params"],
+        batch_stats=b_vars["batch_stats"],
+        opt_state=tx.init(b_vars["params"]),
+        step=jnp.int32(0),
+    )
+    try:
+        st = mgr.restore(name, template)
+        return {"params": st.params, "batch_stats": st.batch_stats}
+    except Exception:
+        return None
+
+
+def restore_im_vars(mgr: CheckpointManager, name: str, im_params, enc_params,
+                    enc_bn):
+    """Restore the implicit decoder + encoder from the IGR-pretrain /
+    joint-export layout {params: {im, enc}, bn}. Returns
+    (im_params, enc_params, enc_bn) or None."""
+    if not mgr.exists(name):
+        return None
+    template = {"params": {"im": im_params, "enc": enc_params}, "bn": enc_bn}
+    try:
+        loaded = mgr.restore(name, template)
+        return (
+            loaded["params"]["im"], loaded["params"]["enc"], loaded["bn"]
+        )
+    except Exception:
+        return None

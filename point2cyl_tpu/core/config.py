@@ -171,5 +171,7 @@ class EvalConfig:
     use_gt_bb: bool = False
     use_gt_sketch: bool = False
     use_gt_im: bool = False
+    use_whole_pc: bool = False
+    use_extrusion_axis_feat: bool = False
     num_sketch_samples: int = 2048
     norm_eig: bool = False

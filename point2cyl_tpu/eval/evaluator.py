@@ -110,30 +110,66 @@ def make_eval_step(
 
         if implicit is not None and encoder is not None:
             # Latent extraction (eval.py:463-543)
-            if cfg.use_gt_im:
-                proj_args = (
-                    batch["normals"], i_gt, gt_bb, gt_axes, gt_centers
+            w_reordered = reorder_w(heads.w, seg.matching)
+            w_reordered = jnp.where(
+                seg.mask[:, None, :], w_reordered, 0.0
+            )
+            if cfg.use_whole_pc:
+                # whole-pc 4/7-channel encoding (eval.py:468-486,511-531)
+                n_pts = pts.shape[1]
+                pcs_rep = jnp.broadcast_to(
+                    pts[:, None], (b, k, n_pts, 3)
+                )
+                if cfg.use_gt_im:
+                    w_chan = jnp.swapaxes(
+                        jax.nn.one_hot(i_gt, k, dtype=pts.dtype), 1, 2
+                    )[..., None]
+                    ax_feat = gt_axes
+                else:
+                    w_chan = jnp.swapaxes(w_reordered, 1, 2)[..., None]
+                    ax_feat = axes
+                parts = [pcs_rep, w_chan]
+                if cfg.use_extrusion_axis_feat:
+                    parts.append(
+                        jnp.broadcast_to(
+                            ax_feat[:, :, None, :], (b, k, n_pts, 3)
+                        )
+                    )
+                enc_in = jnp.concatenate(parts, axis=-1).reshape(
+                    b * k, n_pts, -1
+                )
+                latents = encoder.apply(
+                    enc_vars, enc_in, train=False
+                ).reshape(b, k, -1)
+                _, _, scales, _ = sketch_projection(
+                    k_lat, pts, heads.normals,
+                    jnp.argmax(w_reordered, axis=-1),
+                    jnp.argmax(M.base_barrel_probs(heads.w_2k), axis=-1),
+                    axes, centers, num_samples=num_sk_points,
                 )
             else:
-                w_reordered = reorder_w(heads.w, seg.matching)
-                w_reordered = jnp.where(
-                    seg.mask[:, None, :], w_reordered, 0.0
+                if cfg.use_gt_im:
+                    proj_args = (
+                        batch["normals"], i_gt, gt_bb, gt_axes, gt_centers
+                    )
+                else:
+                    label = jnp.argmax(w_reordered, axis=-1)
+                    pred_bb = jnp.argmax(
+                        M.base_barrel_probs(heads.w_2k), axis=-1
+                    )
+                    proj_args = (
+                        heads.normals, label, pred_bb, axes, centers
+                    )
+                p2d, n2d, scales, _ = sketch_projection(
+                    k_lat, pts, *proj_args, num_samples=num_sk_points
                 )
-                label = jnp.argmax(w_reordered, axis=-1)
-                pred_bb = jnp.argmax(
-                    M.base_barrel_probs(heads.w_2k), axis=-1
+                p2d_n = p2d / scales[..., None, None]
+                enc_in = jnp.concatenate([p2d_n, n2d], axis=-1).reshape(
+                    b * k, num_sk_points, 4
                 )
-                proj_args = (heads.normals, label, pred_bb, axes, centers)
-            p2d, n2d, scales, _ = sketch_projection(
-                k_lat, pts, *proj_args, num_samples=num_sk_points
-            )
-            p2d_n = p2d / scales[..., None, None]
-            enc_in = jnp.concatenate([p2d_n, n2d], axis=-1).reshape(
-                b * k, num_sk_points, 4
-            )
-            latents = encoder.apply(
-                enc_vars, enc_in, train=False
-            ).reshape(b, k, -1)
+                latents = encoder.apply(
+                    enc_vars, enc_in, train=False
+                ).reshape(b, k, -1)
 
             def sdf_fn(x):
                 return implicit.apply(im_vars, x)
@@ -272,6 +308,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--use_gt_segmentation", action="store_true")
     p.add_argument("--use_gt_bb", action="store_true")
     p.add_argument("--use_gt_im", action="store_true")
+    p.add_argument("--use_whole_pc", action="store_true")
+    p.add_argument("--use_extrusion_axis_feat", action="store_true")
     p.add_argument("--norm_eig", action="store_true")
     p.add_argument("--add_noise", action="store_true")
     p.add_argument("--noise_sigma", type=float, default=0.01)
@@ -295,6 +333,8 @@ def cli_main() -> None:
         use_gt_segmentation=args.use_gt_segmentation,
         use_gt_bb=args.use_gt_bb,
         use_gt_im=args.use_gt_im,
+        use_whole_pc=args.use_whole_pc,
+        use_extrusion_axis_feat=args.use_extrusion_axis_feat,
         num_sketch_samples=args.num_sk_point,
         norm_eig=args.norm_eig,
     )
@@ -326,37 +366,50 @@ def cli_main() -> None:
     b_vars = backbone.init(
         {"params": key, "sample": key, "dropout": key}, pts0, train=False
     )
-    ckpt = CheckpointManager(args.logdir)
-    if ckpt.exists("model"):
-        from point2cyl_tpu.core.config import TrainConfig
-        from point2cyl_tpu.train import steps as S
+    from point2cyl_tpu.core.checkpoint import (
+        restore_backbone_vars,
+        restore_im_vars,
+    )
 
-        tx = S.make_optimizer(TrainConfig(batch_size=args.batch_size))
-        template = S.TrainState(
-            params=b_vars["params"],
-            batch_stats=b_vars["batch_stats"],
-            opt_state=tx.init(b_vars["params"]),
-            step=jnp.int32(0),
-        )
-        state = ckpt.restore("model", template)
-        b_vars = {
-            "params": state.params, "batch_stats": state.batch_stats
-        }
-        print(f"Restored backbone from {args.logdir}/model")
-    else:
+    ckpt = CheckpointManager(args.logdir)
+    restored = None
+    for name in ("model", "pc_model"):
+        restored = restore_backbone_vars(ckpt, name, b_vars)
+        if restored is not None:
+            b_vars = restored
+            print(f"Restored backbone from {args.logdir}/{name}")
+            break
+    if restored is None:
         print(f"WARNING: no checkpoint at {args.logdir}/model — fresh init")
 
     implicit = encoder = None
     im_vars = enc_vars = None
     if not args.no_implicit:
         implicit = ImplicitNet(d_in=258)
-        encoder = PointNetEncoder(embedding_size=256, with_normals=True)
+        if cfg.use_whole_pc:
+            in_ch = 7 if cfg.use_extrusion_axis_feat else 4
+            encoder = PointNetEncoder(256, in_ch, with_normals=False)
+            enc_in_ch = in_ch
+        else:
+            encoder = PointNetEncoder(embedding_size=256, with_normals=True)
+            enc_in_ch = 4
         im_vars = implicit.init(key, jnp.zeros((1, 258)))
         enc_vars = encoder.init(
-            key, jnp.zeros((1, 16, 4)), train=False
+            key, jnp.zeros((1, 16, enc_in_ch)), train=False
         )
-        # joint-trainer checkpoint loading lands with train_joint
-        if not os.path.isdir(args.im_logdir):
+        im_mgr = CheckpointManager(args.im_logdir)
+        loaded = None
+        for name in ("model", "im_model"):
+            loaded = restore_im_vars(
+                im_mgr, name, im_vars["params"], enc_vars["params"],
+                enc_vars["batch_stats"],
+            )
+            if loaded is not None:
+                im_vars = {"params": loaded[0]}
+                enc_vars = {"params": loaded[1], "batch_stats": loaded[2]}
+                print(f"Restored implicit stack from {args.im_logdir}/{name}")
+                break
+        if loaded is None:
             print(
                 f"WARNING: no implicit checkpoint at {args.im_logdir} — "
                 "fresh init (fitting metrics not meaningful)"

@@ -401,34 +401,30 @@ def cli_main() -> None:
     enc_vars = encoder.init(
         key, jnp.zeros((1, args.num_sk_point, 4)), train=False
     )
-    from point2cyl_tpu.core.checkpoint import CheckpointManager
+    from point2cyl_tpu.core.checkpoint import (
+        CheckpointManager,
+        restore_backbone_vars,
+        restore_im_vars,
+    )
 
     ckpt = CheckpointManager(args.logdir)
-    if ckpt.exists(args.ckpt):
-        from point2cyl_tpu.core.config import TrainConfig
-        from point2cyl_tpu.train import steps as S
-
-        tx = S.make_optimizer(TrainConfig())
-        template = S.TrainState(
-            params=b_vars["params"], batch_stats=b_vars["batch_stats"],
-            opt_state=tx.init(b_vars["params"]), step=jnp.int32(0),
-        )
-        st = ckpt.restore(args.ckpt, template)
-        b_vars = {"params": st.params, "batch_stats": st.batch_stats}
-        print("Model loaded.")
+    for name in (args.ckpt, "pc_model"):
+        restored = restore_backbone_vars(ckpt, name, b_vars)
+        if restored is not None:
+            b_vars = restored
+            print("Model loaded.")
+            break
     im_mgr = CheckpointManager(args.im_logdir)
-    if im_mgr.exists(args.im_ckpt):
-        template = {
-            "params": {"im": im_vars["params"], "enc": enc_vars["params"]},
-            "bn": enc_vars["batch_stats"],
-        }
-        loaded = im_mgr.restore(args.im_ckpt, template)
-        im_vars = {"params": loaded["params"]["im"]}
-        enc_vars = {
-            "params": loaded["params"]["enc"],
-            "batch_stats": loaded["bn"],
-        }
-        print("Pre-trained fixed implicit model loaded.")
+    for name in (args.im_ckpt, "im_model"):
+        loaded = restore_im_vars(
+            im_mgr, name, im_vars["params"], enc_vars["params"],
+            enc_vars["batch_stats"],
+        )
+        if loaded is not None:
+            im_vars = {"params": loaded[0]}
+            enc_vars = {"params": loaded[1], "batch_stats": loaded[2]}
+            print("Pre-trained fixed implicit model loaded.")
+            break
 
     # ---- extrusion parameter extraction ----
     key, k1, k2 = jax.random.split(key, 3)

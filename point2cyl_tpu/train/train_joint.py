@@ -545,6 +545,20 @@ def cli_main() -> None:
             best_after=cfg.best_after_epoch,
         )
     ckpt.save("model", host_state(state))
+    # Interop exports: the reference saves a combined 3-net dict
+    # (train_Point2Cyl.py:753-777); here the backbone and implicit stacks
+    # are additionally exported in the layouts eval/recon restore directly.
+    host = host_state(state)
+    ckpt.save(
+        "pc_model", {"params": host.pc_params, "batch_stats": host.pc_bn}
+    )
+    ckpt.save(
+        "im_model",
+        {
+            "params": {"im": host.im_params, "enc": host.enc_params},
+            "bn": host.enc_bn,
+        },
+    )
     logger.close()
 
 
