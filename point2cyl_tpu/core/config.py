@@ -62,6 +62,9 @@ class BackboneConfig:
     # FPS backend: "auto" uses the Pallas VMEM-resident kernel on TPU
     # (bit-identical to the XLA path, ~3x faster); "xla" / "pallas" force.
     fps_impl: str = "auto"
+    # Ball-query backend: "xla" (default; approx_max_k selection) or
+    # "pallas" (fused kernel, opt-in — see ops/pallas_ballquery.py).
+    ballquery_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

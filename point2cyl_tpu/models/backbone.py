@@ -44,6 +44,7 @@ class SetAbstraction(nn.Module):
     dtype: jnp.dtype | None = None
     approx: bool = False
     fps_impl: str = "auto"
+    ballquery_impl: str = "xla"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool, bn_momentum=0.1):
@@ -61,10 +62,26 @@ class SetAbstraction(nn.Module):
             )
         else:
             fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
-        new_xyz, grouped = sample_and_group(
-            self.npoint, self.radius, self.nsample, xyz, feats, fps_idx,
-            approx=self.approx,
-        )
+        if self.ballquery_impl == "pallas":
+            from point2cyl_tpu.ops.grouping import index_points
+            from point2cyl_tpu.ops.pallas_ballquery import ball_query_pallas
+
+            new_xyz = index_points(xyz, fps_idx)
+            idx = ball_query_pallas(
+                self.radius, self.nsample, xyz, new_xyz
+            )
+            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if feats is not None:
+                grouped = jnp.concatenate(
+                    [grouped_xyz, index_points(feats, idx)], axis=-1
+                )
+            else:
+                grouped = grouped_xyz
+        else:
+            new_xyz, grouped = sample_and_group(
+                self.npoint, self.radius, self.nsample, xyz, feats, fps_idx,
+                approx=self.approx,
+            )
         grouped = PointMLP(self.mlp, dtype=self.dtype)(
             grouped, train=train, bn_momentum=bn_momentum
         )
@@ -161,7 +178,7 @@ class Backbone(nn.Module):
             xyz, f = SetAbstraction(
                 c.sa_npoints[i], c.sa_radii[i], c.sa_nsamples[i],
                 c.sa_mlps[i], dtype=dtype, approx=c.approx_neighbors,
-                fps_impl=c.fps_impl,
+                fps_impl=c.fps_impl, ballquery_impl=c.ballquery_impl,
             )(xyz, f, train=train, bn_momentum=bn_momentum)
             skips.append((xyz, f))
         g_xyz, g_f = GlobalAbstraction(c.sa_global_mlp, dtype=dtype)(
