@@ -66,7 +66,11 @@ def train(
         ds = load_h5(h5_path)
     pipeline = InputPipeline(ds, num_points, k, seed=cfg.seed)
 
-    mesh = make_mesh(cfg.data_parallel)
+    n_dev = cfg.data_parallel or len(jax.devices())
+    while cfg.batch_size % n_dev:
+        n_dev -= 1  # largest device count that divides the batch
+    mesh = make_mesh(n_dev)
+    logger.log(f"data-parallel over {n_dev} device(s)")
     model = build_model(cfg, num_points, k)
     tx = steps.make_optimizer(cfg)
     key = jax.random.key(cfg.seed)
