@@ -88,6 +88,60 @@ class SetAbstraction(nn.Module):
         return new_xyz, jnp.max(grouped, axis=2)  # max over nsample
 
 
+class SetAbstractionMsg(nn.Module):
+    """Multi-scale grouping variant (``pointnet_util.py:210-267``; imported
+    by the reference backbone but unused — provided for capability parity):
+    one FPS center set, several (radius, nsample, mlp) branches whose
+    max-pooled features concatenate. Note the reference MSG concatenates
+    features-then-xyz (the reverse of single-scale grouping) — reproduced.
+    """
+
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    mlp_list: Sequence[Sequence[int]]
+    dtype: jnp.dtype | None = None
+    approx: bool = False
+    fps_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, xyz, feats, train: bool, bn_momentum=0.1):
+        from point2cyl_tpu.ops.grouping import ball_query, index_points
+
+        fps_key = self.make_rng("sample") if train else None
+        use_pallas = self.fps_impl == "pallas" or (
+            self.fps_impl == "auto" and jax.default_backend() != "cpu"
+        )
+        if use_pallas:
+            from point2cyl_tpu.ops.pallas_fps import (
+                farthest_point_sample_pallas,
+            )
+
+            fps_idx = farthest_point_sample_pallas(
+                xyz, self.npoint, key=fps_key
+            )
+        else:
+            fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+        new_xyz = index_points(xyz, fps_idx)
+        branches = []
+        for radius, nsample, mlp in zip(
+            self.radius_list, self.nsample_list, self.mlp_list
+        ):
+            idx = ball_query(radius, nsample, xyz, new_xyz, approx=self.approx)
+            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
+            if feats is not None:
+                grouped = jnp.concatenate(
+                    [index_points(feats, idx), grouped_xyz], axis=-1
+                )
+            else:
+                grouped = grouped_xyz
+            h = PointMLP(mlp, dtype=self.dtype)(
+                grouped, train=train, bn_momentum=bn_momentum
+            )
+            branches.append(jnp.max(h, axis=2))
+        return new_xyz, jnp.concatenate(branches, axis=-1)
+
+
 class GlobalAbstraction(nn.Module):
     """Group-all variant (``pointnet_util.py:146-163,194-195``)."""
 

@@ -70,6 +70,25 @@ def test_backbone_eval_deterministic():
     np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
 
 
+def test_set_abstraction_msg():
+    from point2cyl_tpu.models.backbone import SetAbstractionMsg
+
+    msg = SetAbstractionMsg(
+        npoint=16, radius_list=(0.2, 0.4), nsample_list=(8, 16),
+        mlp_list=((16, 32), (16, 64)),
+    )
+    xyz = jnp.asarray(RNG.normal(size=(2, 128, 3)).astype(np.float32))
+    feats = jnp.asarray(RNG.normal(size=(2, 128, 6)).astype(np.float32))
+    key = jax.random.key(0)
+    variables = msg.init(
+        {"params": key, "sample": key}, xyz, feats, train=False
+    )
+    new_xyz, out = msg.apply(variables, xyz, feats, train=False)
+    assert new_xyz.shape == (2, 16, 3)
+    assert out.shape == (2, 16, 32 + 64)  # concatenated branch widths
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_torch_batchnorm_semantics():
     bn = TorchBatchNorm(4)
     x = jnp.asarray(RNG.normal(size=(8, 10, 4)).astype(np.float32) * 3 + 1)
