@@ -134,7 +134,11 @@ def hard_segment_centers(
     member = (ea_w == 1.0).astype(points.dtype)  # (B, N, K)
     count = jnp.sum(member, axis=1)  # (B, K)
     total = jnp.einsum(
-        "bnk,bnc->bkc", member, points, preferred_element_type=jnp.float32
+        "bnk,bnc->bkc",
+        member,
+        points,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
     centers = total / jnp.maximum(count, 1.0)[..., None]
     found = count > 1

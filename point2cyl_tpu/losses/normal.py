@@ -49,7 +49,12 @@ def axis_normal_regularization_loss(
         * (gt_bb_labels == 0).astype(normals.dtype)[..., None]
     )  # (B, N, K)
     dots = jnp.abs(
-        jnp.einsum("bnd,bkd->bnk", normals, axes)
+        jnp.einsum(
+            "bnd,bkd->bnk",
+            normals,
+            axes,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     )
     barrel_dots = w_b * dots
     base_dots = (1.0 - w_b) * dots

@@ -14,6 +14,12 @@ import jax.numpy as jnp
 
 from point2cyl_tpu.core.config import ZERO_TOL
 
+# XLA's default matmul precision may downcast f32 contractions (bf16 passes
+# on TPU MXU, and measurably also through the CPU backend: ~3e-3 absolute
+# error on unit-scale 3x3 rotations). Every geometry/metric einsum in this
+# package pins full precision; the contraction dims are tiny so it is free.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def add_noise(
     key: jax.Array,
@@ -42,8 +48,9 @@ def random_rotate_with_normal(
     rot = jnp.stack(
         [c, zeros, s, zeros, ones, zeros, -s, zeros, c], axis=-1
     ).reshape(b, 3, 3)
-    return jnp.einsum("bnj,bji->bni", xyz, rot), jnp.einsum(
-        "bnj,bji->bni", normals, rot
+    return (
+        jnp.einsum("bnj,bji->bni", xyz, rot, precision=_HI),
+        jnp.einsum("bnj,bji->bni", normals, rot, precision=_HI),
     )
 
 
@@ -61,8 +68,9 @@ def random_rotate_discretized(
     rot = jnp.stack(
         [c, zeros, s, zeros, ones, zeros, -s, zeros, c], axis=-1
     ).reshape(b, 3, 3)
-    return jnp.einsum("bnj,bji->bni", xyz, rot), jnp.einsum(
-        "bnj,bji->bni", normals, rot
+    return (
+        jnp.einsum("bnj,bji->bni", xyz, rot, precision=_HI),
+        jnp.einsum("bnj,bji->bni", normals, rot, precision=_HI),
     )
 
 
@@ -79,7 +87,7 @@ def sketch_plane_projection_3d(
     Returns (B, K, N, 3).
     """
     rel = points[:, None, :, :] - centers[:, :, None, :]
-    dist = jnp.einsum("bknd,bkd->bkn", rel, axes)
+    dist = jnp.einsum("bknd,bkd->bkn", rel, axes, precision=_HI)
     return points[:, None, :, :] - dist[..., None] * axes[:, :, None, :]
 
 
@@ -95,7 +103,11 @@ def estimate_extrusion_centers(w: jax.Array, pcs: jax.Array) -> jax.Array:
     n = pcs.shape[1]
     return (
         jnp.einsum(
-            "bnk,bnc->bkc", w, pcs, preferred_element_type=jnp.float32
+            "bnk,bnc->bkc",
+            w,
+            pcs,
+            precision=_HI,
+            preferred_element_type=jnp.float32,
         )
         / n
     )
@@ -108,19 +120,24 @@ def segment_masks(
 ) -> jax.Array:
     """(B, K, N) bool membership masks.
 
-    With ``bb_labels`` given, only barrel points (bb == 0) are members,
-    mirroring the gt_W_b construction at ``data_utils.py:1018-1024``;
-    without, all instance points count (the ``sketch_implicit_projection3``
-    all-points variant, ``data_utils.py:1294``).
+    With ``bb_labels`` given, only barrel points (bb == 0) of each instance
+    are members, mirroring the gt_W_b construction at
+    ``data_utils.py:1018-1024``. Without, the mask is all ones — the
+    ``sketch_implicit_projection3`` variant builds its gt_W_b as
+    ``where(bb == 0, 1.0, 1.0)`` (``data_utils.py:1300``), i.e. EVERY point
+    is a member of EVERY instance (each instance samples from the whole
+    cloud), not merely "instance points regardless of base/barrel".
     """
+    if bb_labels is None:
+        return jnp.ones(
+            (seg_label.shape[0], k, seg_label.shape[1]), dtype=bool
+        )
     member = seg_label[:, None, :] == jnp.arange(k)[None, :, None]
-    if bb_labels is not None:
-        member = member & (bb_labels[:, None, :] == 0)
-    return member
+    return member & (bb_labels[:, None, :] == 0)
 
 
 def sample_segment_points(
-    key: jax.Array,
+    key: jax.Array | None,
     masks: jax.Array,
     num_samples: int,
 ) -> tuple[jax.Array, jax.Array]:
@@ -129,10 +146,14 @@ def sample_segment_points(
     Fixed-shape replacement for the reference's dynamic
     ``torch.randint(0, count, (S,))`` over gathered index lists
     (``data_utils.py:1061-1065``): member indices are brought to the front
-    with a stable argsort, then ``S`` uniform draws in [0, count) select
-    among them.
+    with a stable argsort (ascending point order, exactly the order
+    ``nonzero()`` yields in the reference), then ``S`` uniform draws in
+    [0, count) select among them.
 
     Args:
+      key: PRNG key, or None for the deterministic ``arange(S) % count``
+        draw used by exact A/B tests against the reference (whose
+        ``torch.randint`` is monkeypatched to the same sequence).
       masks: (B, K, N) bool membership.
       num_samples: S, samples per segment.
 
@@ -146,9 +167,14 @@ def sample_segment_points(
     b, k, n = masks.shape
     order = jnp.argsort(~masks, axis=-1, stable=True)  # members first
     count = jnp.sum(masks, axis=-1)  # (B, K)
-    r = jax.random.randint(
-        key, (b, k, num_samples), 0, jnp.maximum(count, 1)[..., None]
-    )
+    if key is None:
+        r = jnp.arange(num_samples, dtype=jnp.int32)[None, None, :] % (
+            jnp.maximum(count, 1)[..., None]
+        )
+    else:
+        r = jax.random.randint(
+            key, (b, k, num_samples), 0, jnp.maximum(count, 1)[..., None]
+        )
     idx = jnp.take_along_axis(order, r, axis=-1).astype(jnp.int32)
     return idx, count > 1
 
@@ -192,8 +218,82 @@ def rotation_to_z(axis: jax.Array, tol: float = ZERO_TOL) -> jax.Array:
     return jnp.where(aligned[..., None, None], eye, r)
 
 
+def rotation_to_z_reference(
+    axis: jax.Array, tol: float = ZERO_TOL
+) -> jax.Array:
+    """The reference's ACTUAL sketch-plane rotation, defects included.
+
+    ``sketch_implicit_projection`` builds R via
+    ``tgm.angle_axis_to_rotation_matrix((cross(ax, z) * acos(ax.z)))``
+    (``data_utils.py:1092-1104``) and then applies it as a ROW-vector
+    product ``p @ R`` (``data_utils.py:1113``), i.e. effectively R^T p.
+    Two consequences, both reproduced here bit-faithfully because
+    reference-trained encoder/implicit checkpoints were trained on these
+    projections and evaluating them requires the same plane:
+
+    - the angle-axis vector fed to tgm has norm theta*sin(theta) (the cross
+      product is unnormalized), so the applied rotation angle is
+      theta*sin(theta), not theta;
+    - the transpose means the dropped "z" direction is NOT the extrusion
+      axis for tilted axes (verified numerically against the reference:
+      q = R(u, theta*sin(theta))^T p matches to 2e-6).
+
+    Faithful details: tgm's unit axis is v/(|v| + 1e-6); its Taylor branch
+    (R = I + [v]_x) fires when |v|^2 <= 1e-6; the reference only replaces
+    identity when theta > g_zero_tol (``data_utils.py:1098``).
+
+    Args: axis (..., 3) unit vectors. Returns (..., 3, 3) matrices to be
+    applied as q = M p (the transpose is already folded in).
+    """
+    z = jnp.array([0.0, 0.0, 1.0], dtype=axis.dtype)
+    dot = jnp.clip(axis[..., 2], -1.0, 1.0)
+    theta = jnp.arccos(dot)
+    v = jnp.cross(axis, jnp.broadcast_to(z, axis.shape))  # |v| = sin(theta)
+    v = v * theta[..., None]
+    theta2 = jnp.sum(v * v, axis=-1)
+    theta_eff = jnp.sqrt(jnp.maximum(theta2, 1e-30))
+    w = v / (theta_eff[..., None] + 1e-6)
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    c = jnp.cos(theta_eff)
+    s = jnp.sin(theta_eff)
+    one_c = 1.0 - c
+    r_normal = jnp.stack(
+        [
+            c + wx * wx * one_c,
+            wx * wy * one_c - wz * s,
+            wy * s + wx * wz * one_c,
+            wz * s + wx * wy * one_c,
+            c + wy * wy * one_c,
+            -wx * s + wy * wz * one_c,
+            -wy * s + wx * wz * one_c,
+            wx * s + wy * wz * one_c,
+            c + wz * wz * one_c,
+        ],
+        axis=-1,
+    ).reshape(*theta.shape, 3, 3)
+    ones = jnp.ones_like(wx)
+    r_taylor = jnp.stack(
+        [
+            ones,
+            -v[..., 2],
+            v[..., 1],
+            v[..., 2],
+            ones,
+            -v[..., 0],
+            -v[..., 1],
+            v[..., 0],
+            ones,
+        ],
+        axis=-1,
+    ).reshape(*theta.shape, 3, 3)
+    r = jnp.where((theta2 > 1e-6)[..., None, None], r_normal, r_taylor)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axis.dtype), r.shape)
+    r = jnp.where((theta > tol)[..., None, None], r, eye)
+    return jnp.swapaxes(r, -1, -2)  # fold in the p @ R row-vector product
+
+
 def sketch_projection(
-    key: jax.Array,
+    key: jax.Array | None,
     points: jax.Array,
     normals: jax.Array,
     seg_label: jax.Array,
@@ -201,6 +301,7 @@ def sketch_projection(
     axes: jax.Array,
     centers: jax.Array,
     num_samples: int = 1024,
+    rotation_mode: str = "exact",
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Project per-instance (barrel) points to centered 2D sketch planes.
 
@@ -208,15 +309,23 @@ def sketch_projection(
     (``data_utils.py:1014-1417``): sample S member points per instance,
     rotate the extrusion axis to +z, drop z, center by the projected
     centroid, and report the max-norm scale. Passing ``bb_labels=None``
-    selects the all-points variant (projection3). Unfound segments are
-    zeroed (the reference leaves centroid residue in them and masks
-    downstream; here the mask is authoritative).
+    selects the all-points variant (projection3, every instance samples
+    from the whole cloud). Unfound segments are zeroed (the reference
+    leaves centroid residue in them and masks downstream; here the mask is
+    authoritative).
 
     Args:
+      key: PRNG key for segment sampling; None = deterministic arange
+        sampling (A/B test mode).
       points: (B, N, 3); normals: (B, N, 3).
       seg_label: (B, N) instance ids; bb_labels: (B, N) 0=barrel/1=base
         or None.
       axes: (B, K, 3) unit extrusion axes; centers: (B, K, 3).
+      rotation_mode: "exact" (default) projects out the true axis
+        component via exact Rodrigues; "reference" reproduces the
+        reference's tgm-based rotation bit-faithfully, defects included
+        (see ``rotation_to_z_reference``) — required when evaluating
+        reference-trained encoder/implicit checkpoints.
 
     Returns:
       p2d: (B, K, S, 2) centered projected points.
@@ -234,10 +343,15 @@ def sketch_projection(
     nrm = jnp.take_along_axis(
         normals[:, None].repeat(k, axis=1), idx[..., None], axis=2
     )
-    rot = rotation_to_z(axes)  # (B, K, 3, 3)
-    p_rot = jnp.einsum("bkij,bksj->bksi", rot, pts)[..., :2]
-    n_rot = jnp.einsum("bkij,bksj->bksi", rot, nrm)[..., :2]
-    c_rot = jnp.einsum("bkij,bkj->bki", rot, centers)[..., :2]
+    if rotation_mode == "reference":
+        rot = rotation_to_z_reference(axes)  # (B, K, 3, 3)
+    elif rotation_mode == "exact":
+        rot = rotation_to_z(axes)  # (B, K, 3, 3)
+    else:
+        raise ValueError(f"unknown rotation_mode: {rotation_mode!r}")
+    p_rot = jnp.einsum("bkij,bksj->bksi", rot, pts, precision=_HI)[..., :2]
+    n_rot = jnp.einsum("bkij,bksj->bksi", rot, nrm, precision=_HI)[..., :2]
+    c_rot = jnp.einsum("bkij,bkj->bki", rot, centers, precision=_HI)[..., :2]
     p2d = p_rot - c_rot[:, :, None, :]
     scale = jnp.max(
         jnp.sqrt(jnp.sum(p2d * p2d, axis=-1) + 1e-20), axis=-1
@@ -276,7 +390,7 @@ def extrusion_extents(
     )  # (B, K, S, 3)
     pts = pts * found[..., None, None].astype(points.dtype)
     centered = pts - centers[:, :, None, :]
-    dist = jnp.einsum("bksj,bkj->bks", centered, axes)
+    dist = jnp.einsum("bksj,bkj->bks", centered, axes, precision=_HI)
     return (
         jnp.stack([jnp.min(dist, axis=-1), jnp.max(dist, axis=-1)], axis=-1),
         found,

@@ -71,7 +71,9 @@ def smallest_eigenvector_sym3x3(
     lam = eigenvalues_sym3x3(a)
     eye = jnp.eye(3, dtype=a.dtype)
     m = jnp.matmul(
-        a - lam[..., 1, None, None] * eye, a - lam[..., 2, None, None] * eye
+        a - lam[..., 1, None, None] * eye,
+        a - lam[..., 2, None, None] * eye,
+        precision=jax.lax.Precision.HIGHEST,
     )
     # Columns of m are multiples of the target eigenvector.
     norms2 = jnp.sum(m * m, axis=-2)  # (..., 3) column squared norms
@@ -134,6 +136,7 @@ def estimate_extrusion_axis(
         wdiff,
         normals,
         normals,
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
     return smallest_eigenvector_sym3x3(m)

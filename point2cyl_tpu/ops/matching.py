@@ -58,7 +58,11 @@ def relaxed_iou_cost(
     k = w_pred.shape[-1]
     w_gt = jax.nn.one_hot(i_gt, k, dtype=w_pred.dtype)  # (B, N, K)
     dot = jnp.einsum(
-        "bnk,bnj->bkj", w_gt, w_pred, preferred_element_type=jnp.float32
+        "bnk,bnj->bkj",
+        w_gt,
+        w_pred,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
     denom = (
         jnp.sum(w_gt, axis=1)[:, :, None]
@@ -97,7 +101,11 @@ def hungarian_matching(
     cost = relaxed_iou_cost(w_pred, i_gt)  # (B, K, K)
     perm_onehot = jnp.asarray(_permutation_onehots(k))  # (K!, K, K)
     scores = jnp.einsum(
-        "bkj,pkj->bp", cost, perm_onehot, preferred_element_type=jnp.float32
+        "bkj,pkj->bp",
+        cost,
+        perm_onehot,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
     best = jnp.argmax(scores, axis=-1)  # (B,)
     perms = jnp.asarray(_permutations(k))  # (K!, K)
