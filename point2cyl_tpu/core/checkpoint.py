@@ -9,6 +9,7 @@ params, BN stats, optimizer moments, step — is saved, so resume is exact.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -51,7 +52,20 @@ class CheckpointManager:
             if epoch > best_after and mean_loss < best_loss:
                 best_loss = mean_loss
                 self.save("best_model", state)
+            self.save_meta({"epoch": epoch, "best_loss": best_loss})
         return best_loss
+
+    def save_meta(self, meta: dict) -> None:
+        """Sidecar resume metadata (epoch counter, best loss)."""
+        with open(os.path.join(self.logdir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def load_meta(self) -> dict:
+        path = os.path.join(self.logdir, "meta.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
 
 
 def host_state(state: Any) -> Any:

@@ -159,6 +159,10 @@ class TrainConfig:
     # on the data axis.
     data_parallel: Optional[int] = None
     compute_dtype: str = "float32"
+    # Restore the full TrainState from <logdir>/model and continue (the
+    # reference has no resume path at all and loses up to 10 epochs on a
+    # crash, SURVEY.md section 5).
+    resume: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,3 +182,7 @@ class EvalConfig:
     use_extrusion_axis_feat: bool = False
     num_sketch_samples: int = 2048
     norm_eig: bool = False
+    # Perturb input points along their normals before the forward pass
+    # (reference eval.py:239-240).
+    add_noise: bool = False
+    noise_sigma: float = 0.01

@@ -45,7 +45,6 @@ class InputPipeline:
         self.k = max_instances
         self.num_sketch_points = num_sketch_points
         self.num_samples = ds.num_samples
-        self._host_rng = np.random.default_rng(seed)
 
         dev = {
             "point_cloud": ds.point_cloud.astype(np.float32),
@@ -97,11 +96,16 @@ class InputPipeline:
         """Yield batches for one epoch (drops the ragged tail, like a
         drop_last loader; reference keeps ragged tails but every consumer
         immediately re-reads batch_size from the tensor)."""
-        order = (
-            self._host_rng.permutation(self.num_samples)
-            if shuffle
-            else np.arange(self.num_samples)
-        )
+        # The shuffle order derives from the caller's key, not from a
+        # stateful host RNG: a crash-resumed epoch E then replays exactly
+        # the order the uninterrupted run would have used.
+        if shuffle:
+            key, k_order = jax.random.split(key)
+            order = np.asarray(
+                jax.random.permutation(k_order, self.num_samples)
+            )
+        else:
+            order = np.arange(self.num_samples)
         nb = self.num_samples // batch_size
         for i in range(nb):
             rows = order[i * batch_size : (i + 1) * batch_size]
@@ -171,7 +175,15 @@ def _gather_batch(
     if num_sketch_points:
         sk = take_rows(dev["sketches"])  # (B, K, Ssk, 4)
         ssk = sk.shape[2]
-        sk_idx = jax.random.permutation(k_sk, ssk)[:num_sketch_points]
-        out["sketches"] = jnp.take(sk, sk_idx, axis=2)
+        # per-ITEM permutation (the reference draws a fresh randperm per
+        # sample, dataloader.py:213-216; one shared permutation would
+        # correlate the whole batch each epoch)
+        sk_keys = jax.random.split(k_sk, b)
+        sk_idx = jax.vmap(
+            lambda kk: jax.random.permutation(kk, ssk)[:num_sketch_points]
+        )(sk_keys)
+        out["sketches"] = jnp.take_along_axis(
+            sk, sk_idx[:, None, :, None], axis=2
+        )
         out["sketches_norms"] = take_rows(dev["sketches_norms"])
     return out

@@ -27,7 +27,11 @@ from point2cyl_tpu.losses.normal import normal_difference
 from point2cyl_tpu.losses.segmentation import reorder_w
 from point2cyl_tpu.models.backbone import Backbone
 from point2cyl_tpu.models.implicit import ImplicitNet, PointNetEncoder
-from point2cyl_tpu.ops.geometry import extrusion_extents, sketch_projection
+from point2cyl_tpu.ops.geometry import (
+    add_noise,
+    extrusion_extents,
+    sketch_projection,
+)
 from point2cyl_tpu.core.config import BackboneConfig
 from point2cyl_tpu.train.steps import assemble_heads
 
@@ -44,6 +48,12 @@ def make_eval_step(
     @functools.partial(jax.jit, static_argnames=())
     def eval_step(b_vars, im_vars, enc_vars, batch, key):
         pts = batch["point_cloud"]
+        if cfg.add_noise:
+            # reference eval.py:239-240: inputs perturbed along GT normals
+            key, k_noise = jax.random.split(key)
+            pts = add_noise(
+                k_noise, pts, batch["normals"], sigma=cfg.noise_sigma
+            )
         i_gt = batch["extrusion_labels"]
         gt_bb = batch["base_barrel_labels"]
         gt_axes = batch["extrusion_axes"]
@@ -337,6 +347,8 @@ def cli_main() -> None:
         use_extrusion_axis_feat=args.use_extrusion_axis_feat,
         num_sketch_samples=args.num_sk_point,
         norm_eig=args.norm_eig,
+        add_noise=args.add_noise,
+        noise_sigma=args.noise_sigma,
     )
     if args.synthetic:
         ds = generate_dataset(

@@ -335,8 +335,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--scale_post_process", action="store_true")
     p.add_argument("--extent_post_process", action="store_true")
     p.add_argument("--igr_post_process", action="store_true")
-    p.add_argument("--igr_pp_init", action="store_true")
-    p.add_argument("--use_pretrained_2d", action="store_true")
+    p.add_argument("--igr_post_process_reinit", "--igr_pp_init",
+                   dest="igr_post_process_reinit", action="store_true",
+                   help="fine-tune from a fresh geometric init instead of "
+                   "the loaded implicit params (visualizer.py:728-735)")
+    p.add_argument("--use_pretrained_2d", action="store_true",
+                   help="take the implicit stack from --im_logdir (the "
+                   "sketch-only pretrained ckpt) instead of the joint "
+                   "trainer's combined ckpt in --logdir "
+                   "(visualizer.py:309-317,457-460)")
     p.add_argument("--norm_eig", action="store_true")
     p.add_argument("--use_gt_3d", action="store_true",
                    help="reconstruct from GT extrusion parameters (the "
@@ -414,16 +421,27 @@ def cli_main() -> None:
             b_vars = restored
             print("Model loaded.")
             break
-    im_mgr = CheckpointManager(args.im_logdir)
-    for name in (args.im_ckpt, "im_model"):
+    # Implicit-stack source (visualizer.py:309-317): by default the joint
+    # trainer's combined checkpoint (same logdir as the backbone); with
+    # --use_pretrained_2d the sketch-only pretrained stack from im_logdir.
+    if args.use_pretrained_2d:
+        im_sources = [
+            (args.im_logdir, args.im_ckpt), (args.im_logdir, "im_model")
+        ]
+    else:
+        im_sources = [
+            (args.logdir, "im_model"), (args.logdir, args.im_ckpt),
+            (args.im_logdir, args.im_ckpt), (args.im_logdir, "im_model"),
+        ]
+    for logdir, name in im_sources:
         loaded = restore_im_vars(
-            im_mgr, name, im_vars["params"], enc_vars["params"],
-            enc_vars["batch_stats"],
+            CheckpointManager(logdir), name, im_vars["params"],
+            enc_vars["params"], enc_vars["batch_stats"],
         )
         if loaded is not None:
             im_vars = {"params": loaded[0]}
             enc_vars = {"params": loaded[1], "batch_stats": loaded[2]}
-            print("Pre-trained fixed implicit model loaded.")
+            print(f"Pre-trained fixed implicit model loaded ({logdir}).")
             break
 
     # ---- extrusion parameter extraction ----
@@ -501,10 +519,17 @@ def cli_main() -> None:
     # ---- optional per-instance IGR fine-tuning ----
     im_params_per_instance = [im_vars["params"]] * k
     if args.igr_post_process:
+        if args.igr_post_process_reinit:
+            # fresh geometric init per the reference's reinit branch
+            # (visualizer.py:734-736)
+            key, ki = jax.random.split(key)
+            start_params = implicit.init(ki, jnp.zeros((1, 258)))["params"]
+        else:
+            start_params = im_vars["params"]
         for j in range(n_instances):
             key, kf = jax.random.split(key)
             tuned = igr_finetune(
-                implicit, im_vars["params"], jnp.asarray(latents[j]),
+                implicit, start_params, jnp.asarray(latents[j]),
                 jnp.asarray(np.asarray(p2d_n)[0, j]),
                 jnp.asarray(np.asarray(n2d)[0, j]), kf,
             )
@@ -519,17 +544,37 @@ def cli_main() -> None:
         scales_np, extents, ops, perm, n_instances,
         resolution=args.resolution, half_range=args.half_range,
     )
-    out_ply = os.path.join(args.dump_dir, f"{args.model_id}.ply")
+    # Output layout mirrors the reference (visualizer.py:158-170):
+    # OUTPUT_DIR/{reconstruction,input_point_clouds,intermediate_volumes};
+    # DUMP_DIR receives the debug render scripts.
+    recons_fol = os.path.join(args.output_dir, "reconstruction")
+    pc_input_fol = os.path.join(args.output_dir, "input_point_clouds")
+    intermediate_fol = os.path.join(args.output_dir, "intermediate_volumes")
+    for d in (recons_fol, pc_input_fol, intermediate_fol):
+        os.makedirs(d, exist_ok=True)
+    out_ply = os.path.join(recons_fol, f"{args.model_id}.ply")
     verts, faces = reconstruct_mesh(
         volume, out_ply, half_range=args.half_range, level=args.level,
         has_cut=(-1 in list(ops[:n_instances])),
     )
+    from point2cyl_tpu.recon.ply import write_ply
+
+    write_ply(
+        os.path.join(pc_input_fol, f"{args.model_id}.ply"),
+        pc_np, np.zeros((0, 3), np.int32),
+    )
     for i, vol in enumerate(intermediates):
         convert_sdf_samples_to_ply(
             vol, [0.0, 0.0, 0.0], 2 * args.half_range / args.resolution,
-            os.path.join(args.dump_dir, f"{args.model_id}_{i}.ply"),
+            os.path.join(intermediate_fol, f"{args.model_id}_{i}.ply"),
             level=args.level,
         )
+    from point2cyl_tpu.recon.render_scripts import RenderScriptWriter
+
+    writer = RenderScriptWriter(args.dump_dir)
+    writer.add_pointcloud(str(args.model_id), pc_np, label, np.asarray(gt_lab)[0])
+    writer.add_mesh(str(args.model_id), out_ply)
+    writer.finalize()
     print(
         f"Reconstructed {len(verts)} verts / {len(faces)} faces -> {out_ply}"
     )

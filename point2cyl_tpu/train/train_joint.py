@@ -44,6 +44,7 @@ from point2cyl_tpu.models.backbone import Backbone
 from point2cyl_tpu.models.implicit import ImplicitNet, PointNetEncoder
 from point2cyl_tpu.ops.geometry import sketch_projection
 from point2cyl_tpu.ops.matching import mask_gt_from_labels
+from point2cyl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from point2cyl_tpu.train import steps
 from point2cyl_tpu.train.train_pc import build_model
 
@@ -362,6 +363,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--weight_center", type=float, default=1.0)
     p.add_argument("--add_noise", action="store_true")
     p.add_argument("--noise_sigma", type=float, default=0.01)
+    # parsed-but-inert in the reference too: SALD = FLAGS.sald is
+    # assigned and never read; the SALD normal-loss form is
+    # hardcoded (train_Point2Cyl.py:114,638-645)
     p.add_argument("--sald", action="store_true")
     p.add_argument("--is_pc_init", action="store_true")
     p.add_argument("--is_im_init", action="store_true")
@@ -379,6 +383,12 @@ def build_argparser() -> argparse.ArgumentParser:
     # TPU-framework extensions
     p.add_argument("--pretrain_im", action="store_true",
                    help="IGR pretraining: encoder+implicit on GT sketches")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the full JointTrainState from "
+                   "<logdir>/model and continue")
+    p.add_argument("--data_parallel", type=int, default=None,
+                   help="shard the batch over this many devices "
+                   "(default: all local devices)")
     p.add_argument("--synthetic", type=int, default=None)
     p.add_argument("--synthetic_resolution", type=int, default=8192)
     p.add_argument("--seed", type=int, default=0)
@@ -469,6 +479,14 @@ def cli_main() -> None:
         backbone, implicit, encoder, loaded_encoder, tx, k_init,
         args.num_point, args.num_sk_point,
     )
+    # data parallelism over the batch axis, same recipe as trainer A
+    # (train_pc.py): replicate state, shard batches, XLA inserts the
+    # gradient all-reduce from the shardings.
+    n_dev = args.data_parallel or len(jax.devices())
+    while cfg.batch_size % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(n_dev)
+    logger.log(f"data-parallel over {n_dev} device(s)")
 
     # staged init (train_Point2Cyl.py:329-344)
     if args.is_pc_init:
@@ -519,21 +537,43 @@ def cli_main() -> None:
         use_gt_im=args.use_gt_im,
     )
     best_loss = float("inf")
-    for epoch in range(1, cfg.num_epochs + 1):
+    steps_per_epoch = max(pipeline.num_samples // cfg.batch_size, 1)
+    start_epoch = 1
+    if args.resume and ckpt.exists("model"):
+        restored = ckpt.restore("model", host_state(state))
+        state = restored
+        meta = ckpt.load_meta()
+        done = int(meta.get("epoch", int(restored.step) // steps_per_epoch))
+        best_loss = float(meta.get("best_loss", float("inf")))
+        start_epoch = done + 1
+        logger.log(
+            f"Resumed from {cfg.logdir}/model: epoch {done}, "
+            f"step {int(restored.step)}, best {best_loss:.4f}"
+        )
+    state = replicate(mesh, state)
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
-        key, k_epoch = jax.random.split(key)
+        # epoch/step-keyed streams so resume replays the same sequence
+        k_epoch = jax.random.fold_in(key, epoch)
+        aux_buf = []
         for i, batch in enumerate(pipeline.epochs(cfg.batch_size, k_epoch)):
-            key, k = jax.random.split(key)
-            state, aux = train_step(state, batch, k)
+            batch = shard_batch(mesh, batch)
+            state, aux = train_step(
+                state, batch, jax.random.fold_in(k_epoch, i)
+            )
+            aux_buf.append(aux)  # device-resident; one sync per epoch below
             if i % 10 == 0:
+                a = jax.device_get(aux)
                 logger.log(
                     f"Epoch {epoch}/{cfg.num_epochs} [{i:04d}] | "
                     + " | ".join(
-                        f"{n}: {float(v):.4f}" for n, v in sorted(aux.items())
+                        f"{n}: {float(v):.4f}" for n, v in sorted(a.items())
                     )
                 )
-            for tag, val in aux.items():
-                logger.scalar(f"Loss/{tag}", float(val), int(state.step))
+        for j, a in enumerate(jax.device_get(aux_buf)):
+            gstep = (epoch - 1) * steps_per_epoch + j
+            for tag, val in a.items():
+                logger.scalar(f"Loss/{tag}", float(val), gstep)
         means = logger.epoch_means()
         logger.log(
             f"> Epoch {epoch:04d} done in {time.time()-t0:.1f}s"
@@ -545,6 +585,7 @@ def cli_main() -> None:
             best_after=cfg.best_after_epoch,
         )
     ckpt.save("model", host_state(state))
+    ckpt.save_meta({"epoch": cfg.num_epochs, "best_loss": best_loss})
     # Interop exports: the reference saves a combined 3-net dict
     # (train_Point2Cyl.py:753-777); here the backbone and implicit stacks
     # are additionally exported in the layouts eval/recon restore directly.

@@ -82,30 +82,53 @@ def train(
     ckpt = CheckpointManager(cfg.logdir)
     best_loss = float("inf")
     steps_per_epoch = max(pipeline.num_samples // cfg.batch_size, 1)
+    start_epoch = 1
+    if cfg.resume and ckpt.exists("model"):
+        restored = ckpt.restore("model", host_state(state))
+        state = replicate(mesh, restored)
+        meta = ckpt.load_meta()
+        done = int(meta.get("epoch", int(restored.step) // steps_per_epoch))
+        best_loss = float(meta.get("best_loss", float("inf")))
+        start_epoch = done + 1
+        logger.log(
+            f"Resumed from {cfg.logdir}/model: epoch {done}, "
+            f"step {int(restored.step)}, best {best_loss:.4f}"
+        )
 
-    for epoch in range(1, cfg.num_epochs + 1):
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
         t0 = time.time()
-        key, k_epoch = jax.random.split(key)
+        # epoch/step-keyed RNG streams (not a running split chain) so a
+        # resumed run replays the identical key sequence as an
+        # uninterrupted one
+        k_epoch = jax.random.fold_in(key, epoch)
+        aux_buf = []
         for i, batch in enumerate(
             pipeline.epochs(cfg.batch_size, k_epoch)
         ):
             batch = shard_batch(mesh, batch)
-            key, k_step = jax.random.split(key)
-            state, aux = train_step(state, batch, k_step)
-            gstep = epoch * steps_per_epoch + i
-            for tag, val in aux.items():
-                logger.scalar(f"Loss/{tag}", float(val), gstep)
+            state, aux = train_step(
+                state, batch, jax.random.fold_in(k_epoch, i)
+            )
+            # keep aux on device; scalars sync ONCE per epoch below, and
+            # the console line once per 10 steps — the per-step float()
+            # host sync defeated async dispatch (VERDICT.md round-1 weak #6)
+            aux_buf.append(aux)
             if i % 10 == 0:
+                a = jax.device_get(aux)
                 logger.log(
                     "Epoch: {}/{} | Batch [{:04d}/{:04d}] | "
                     "total {:.4f} | normal {:.4f} | mIOU {:.4f} | "
                     "bb {:.4f} | ext {:.4f} | center {:.4f}".format(
                         epoch, cfg.num_epochs, i, steps_per_epoch,
-                        float(aux["total"]), float(aux["normal"]),
-                        float(aux["miou"]), float(aux["bb"]),
-                        float(aux["extrusion"]), float(aux["center"]),
+                        float(a["total"]), float(a["normal"]),
+                        float(a["miou"]), float(a["bb"]),
+                        float(a["extrusion"]), float(a["center"]),
                     )
                 )
+        for j, a in enumerate(jax.device_get(aux_buf)):
+            gstep = epoch * steps_per_epoch + j
+            for tag, val in a.items():
+                logger.scalar(f"Loss/{tag}", float(val), gstep)
         means = logger.epoch_means()
         logger.log(
             f"> Epoch {epoch:04d} done in {time.time() - t0:.1f}s | "
@@ -122,6 +145,7 @@ def train(
     # final rolling save regardless of cadence (the reference only saves on
     # 10-epoch boundaries, losing tail epochs)
     ckpt.save("model", host_state(state))
+    ckpt.save_meta({"epoch": cfg.num_epochs, "best_loss": best_loss})
     logger.close()
     return state
 
@@ -140,6 +164,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bn_decay_step", type=int, default=200_000)
     p.add_argument("--decay_rate", type=float, default=0.7)
     p.add_argument("--learning_rate", type=float, default=0.001)
+    # parsed-but-inert in the reference too: it only seeds the
+    # old_bn_momentum tracker, immediately overwritten by the BN
+    # schedule (train_Point2Cyl_without_sketch.py:92,208,357-360)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--pred_seg", action="store_true")
     p.add_argument("--pred_normal", action="store_true")
@@ -154,6 +181,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--weight_center", type=float, default=1.0)
     p.add_argument("--add_noise", action="store_true")
     p.add_argument("--noise_sigma", type=float, default=0.01)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the full TrainState (params, BN, optimizer"
+                   ", step) from <logdir>/model and continue")
     # TPU-framework extensions
     p.add_argument("--synthetic", type=int, default=None,
                    help="train on N synthetic solids instead of h5 data")
@@ -191,6 +221,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         seed=args.seed,
         data_parallel=args.data_parallel,
         compute_dtype=args.compute_dtype,
+        resume=args.resume,
     )
 
 

@@ -100,3 +100,67 @@ def test_step_timer_and_fence():
     timer.step(x)
     rate = timer.step(x)
     assert rate is None or rate > 0
+
+
+def test_joint_train_step_matches_single_device():
+    """1-vs-8-device equality for the JOINT step (backbone + encoder + IGR
+    grad-of-grad), the flagship training mode (train_Point2Cyl.py:405-713)."""
+    from point2cyl_tpu.train import train_joint as TJ
+
+    cfg = TrainConfig(
+        batch_size=8, pred_seg=True, pred_normal=True, pred_bb=True,
+        pred_extrusion=False, pred_center=False, logdir=tempfile.mkdtemp(),
+    )
+    ds = generate_dataset(num_samples=8, resolution=256, max_instances=4,
+                          num_sketch_points=32, seed=6)
+    pipe = InputPipeline(
+        ds, num_points=64, max_instances=4, num_sketch_points=32
+    )
+    backbone, implicit, encoder, loaded_encoder = TJ.build_nets(
+        cfg, 64, 4, False, False
+    )
+    tx = TJ.make_joint_optimizer(cfg, True, True)
+    step = TJ.make_joint_train_step(
+        backbone, implicit, encoder, loaded_encoder, cfg, tx, 32,
+        is_pc_train=True, is_im_train=True, with_im_loss=True, is_l2=True,
+        use_gt_im=False,
+    )
+    batch = pipe.batch(np.arange(8), jax.random.key(1))
+
+    state0 = TJ.init_joint_state(
+        backbone, implicit, encoder, loaded_encoder, tx, jax.random.key(0),
+        64, 32,
+    )
+    _, aux_single = step(state0, dict(batch), jax.random.key(2))
+
+    mesh = make_mesh(8)
+    state_sh = TJ.init_joint_state(
+        backbone, implicit, encoder, loaded_encoder, tx, jax.random.key(0),
+        64, 32,
+    )
+    state_sh = replicate(mesh, state_sh)
+    batch_sh = shard_batch(mesh, pipe.batch(np.arange(8), jax.random.key(1)))
+    assert len(batch_sh["point_cloud"].sharding.device_set) == 8
+    new_state, aux_sh = step(state_sh, batch_sh, jax.random.key(2))
+
+    for name in aux_single:
+        # Proxy terms must match tightly. Terms flowing through the
+        # encoder's train-mode BatchNorm (batch variance = mean-of-squares
+        # minus square-of-mean, a catastrophic cancellation in f32) pick up
+        # cross-shard summation-order noise that softplus(beta=100) and the
+        # L2-normalized latent then amplify; they agree to ~0.25% relative,
+        # which is reassociation-level for this graph, not a sharding bug
+        # (measured: eikonal 1.6e-3, manifold 2.3e-3, latent 2.1e-3).
+        bn_path = (
+            "manifold", "eikonal", "sald", "latent", "im_total", "total",
+        )
+        # the proxy terms also pass through the backbone's train-mode BN
+        # (normal measured at 8.2e-4); trainer A's equality test above
+        # still pins the proxy path at 1e-4
+        atol = 8e-3 if name in bn_path else 2e-3
+        np.testing.assert_allclose(
+            float(aux_single[name]), float(aux_sh[name]), rtol=3e-4,
+            atol=atol, err_msg=name,
+        )
+    leaf = jax.tree.leaves(new_state.pc_params)[0]
+    assert len(leaf.sharding.device_set) == 8
