@@ -11,6 +11,10 @@ from point2cyl_tpu.ops.linalg import (  # noqa: F401
     estimate_extrusion_axis,
     smallest_eigenvector_sym3x3,
 )
+from point2cyl_tpu.ops.lap import (  # noqa: F401
+    solve_lap_max,
+    solve_lap_min,
+)
 from point2cyl_tpu.ops.matching import (  # noqa: F401
     hard_w_encoding,
     hungarian_matching,
@@ -22,6 +26,7 @@ from point2cyl_tpu.ops.geometry import (  # noqa: F401
     estimate_extrusion_centers,
     extrusion_extents,
     rotation_to_z,
+    rotation_to_z_reference,
     sketch_projection,
 )
 from point2cyl_tpu.ops.chamfer import chamfer_distances  # noqa: F401

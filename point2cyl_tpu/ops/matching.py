@@ -8,7 +8,9 @@ found by scoring all K! permutations with one (B, K^2) x (K^2, K!) matmul —
 a few MB of static one-hot permutations riding the MXU — followed by an
 argmax. Rows past the per-sample instance count contribute zero cost for
 every column, so the full-permutation optimum restricted to valid rows is
-exactly the rectangular-Hungarian optimum.
+exactly the rectangular-Hungarian optimum. K > 8 switches to the exact
+Jonker-Volgenant program in ``ops/lap.py`` (same optimum as scipy for any
+K, still device-resident).
 """
 
 from __future__ import annotations
@@ -93,23 +95,26 @@ def hungarian_matching(
       mask: (B, K) bool; True for valid rows k' < n_gt.
     """
     k = w_pred.shape[-1]
-    if k > _MAX_ENUM_K:
-        raise NotImplementedError(
-            f"on-device matching enumerates K! permutations; K={k} > "
-            f"{_MAX_ENUM_K}. Use a smaller K or add an auction-algorithm path."
-        )
     cost = relaxed_iou_cost(w_pred, i_gt)  # (B, K, K)
-    perm_onehot = jnp.asarray(_permutation_onehots(k))  # (K!, K, K)
-    scores = jnp.einsum(
-        "bkj,pkj->bp",
-        cost,
-        perm_onehot,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    best = jnp.argmax(scores, axis=-1)  # (B,)
-    perms = jnp.asarray(_permutations(k))  # (K!, K)
-    matching = perms[best]  # (B, K)
+    if k > _MAX_ENUM_K:
+        # exact shortest-augmenting-path LAP (ops/lap.py), the on-device
+        # equivalent of scipy's solver the reference calls for any K
+        # (losses.py:43); still one fused device program, no host sync
+        from point2cyl_tpu.ops.lap import solve_lap_max
+
+        matching = solve_lap_max(cost)
+    else:
+        perm_onehot = jnp.asarray(_permutation_onehots(k))  # (K!, K, K)
+        scores = jnp.einsum(
+            "bkj,pkj->bp",
+            cost,
+            perm_onehot,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        best = jnp.argmax(scores, axis=-1)  # (B,)
+        perms = jnp.asarray(_permutations(k))  # (K!, K)
+        matching = perms[best]  # (B, K)
     n_gt = jnp.max(i_gt, axis=1) + 1  # (B,)
     mask = (
         jax.lax.broadcasted_iota(jnp.int32, matching.shape, 1)

@@ -1,5 +1,6 @@
 """On-device Hungarian matching vs scipy, plus mask/encoding helpers."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.optimize import linear_sum_assignment
@@ -95,3 +96,81 @@ def test_mask_and_reduce():
     loss = jnp.asarray([[1.0, 2.0, 3.0, 99.0], [4.0, 99.0, 99.0, 99.0]])
     red = np.asarray(reduce_mean_masked_instance(loss, jnp.asarray(mask)))
     np.testing.assert_allclose(red, [2.0, 4.0])
+
+
+def test_lap_matches_scipy_any_k():
+    """K > 8 path: the Jonker-Volgenant device solver must reach scipy's
+    optimum on random instances (VERDICT.md round-1 item #6; reference
+    behavior: losses.py:22-52 works for any K)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from point2cyl_tpu.ops.lap import solve_lap_min
+
+    rng = np.random.default_rng(3)
+    for k in (2, 5, 12, 16, 24):
+        c = rng.random((4, k, k)).astype(np.float32)
+        mine = np.array(solve_lap_min(jnp.array(c)))
+        for b in range(4):
+            rows, cols = linear_sum_assignment(c[b])
+            assert sorted(mine[b].tolist()) == list(range(k))
+            np.testing.assert_allclose(
+                c[b][np.arange(k), mine[b]].sum(),
+                c[b][rows, cols].sum(),
+                rtol=1e-6,
+            )
+
+
+def test_hungarian_matching_k12_vs_scipy_reference():
+    """hungarian_matching at K=12 must agree with the reference's scipy
+    pipeline on the same relaxed-IoU cost."""
+    from scipy.optimize import linear_sum_assignment
+
+    k = 12
+    rng = np.random.default_rng(4)
+    b, n = 3, 128
+    w = rng.dirichlet(np.ones(k), (b, n)).astype(np.float32)
+    n_inst = [5, 12, 9]
+    i_gt = np.stack(
+        [rng.integers(0, ni, (n,)) for ni in n_inst]
+    ).astype(np.int64)
+    for bi, ni in enumerate(n_inst):
+        i_gt[bi, :ni] = np.arange(ni)  # contiguity
+    match, mask = hungarian_matching(jnp.array(w), jnp.array(i_gt))
+    match, mask = np.array(match), np.array(mask)
+    for bi, ni in enumerate(n_inst):
+        w_gt = np.eye(ni + 1)[i_gt[bi]][:, :ni]  # (N, ni)
+        dot = w_gt.T @ w[bi]
+        denom = w_gt.sum(0)[:, None] + w[bi].sum(0)[None, :] - dot
+        cost = dot / np.clip(denom, 1e-10, None)
+        _, col = linear_sum_assignment(-cost)
+        assert mask[bi, :ni].all() and not mask[bi, ni:].any()
+        np.testing.assert_array_equal(match[bi, :ni], col)
+
+
+def test_train_step_runs_at_k12():
+    """--K 12 must train (the reference supports any K; round 1 raised
+    NotImplementedError above 8)."""
+    import tempfile
+
+    from point2cyl_tpu.core.config import TrainConfig
+    from point2cyl_tpu.data.pipeline import InputPipeline
+    from point2cyl_tpu.data.synthetic import generate_dataset
+    from point2cyl_tpu.train import steps
+    from point2cyl_tpu.train.train_pc import build_model
+
+    cfg = TrainConfig(
+        batch_size=2, pred_seg=True, pred_normal=True, pred_bb=True,
+        pred_extrusion=True, pred_center=True, logdir=tempfile.mkdtemp(),
+    )
+    ds = generate_dataset(
+        num_samples=2, resolution=128, max_instances=12,
+        num_sketch_points=16, seed=2,
+    )
+    pipe = InputPipeline(ds, num_points=64, max_instances=12)
+    model = build_model(cfg, 64, 12)
+    tx = steps.make_optimizer(cfg)
+    state = steps.init_state(model, cfg, tx, jax.random.key(0), 64)
+    step = steps.make_train_step(model, cfg, tx)
+    batch = pipe.batch(np.arange(2), jax.random.key(1))
+    state, aux = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(aux["total"]))
