@@ -62,9 +62,10 @@ class BackboneConfig:
     # FPS backend: "auto" uses the Pallas VMEM-resident kernel on TPU
     # (bit-identical to the XLA path, ~3x faster); "xla" / "pallas" force.
     fps_impl: str = "auto"
-    # Ball-query backend: "xla" (default; approx_max_k selection) or
-    # "pallas" (fused kernel, opt-in — see ops/pallas_ballquery.py).
-    ballquery_impl: str = "xla"
+    # Ball-query backend: "auto" uses the fused Pallas kernel on TPU
+    # (diversity-preserving block selection, no O(S*N) HBM traffic — see
+    # ops/pallas_ballquery.py) and XLA elsewhere; "xla" / "pallas" force.
+    ballquery_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,7 +44,7 @@ class SetAbstraction(nn.Module):
     dtype: jnp.dtype | None = None
     approx: bool = False
     fps_impl: str = "auto"
-    ballquery_impl: str = "xla"
+    ballquery_impl: str = "auto"
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool, bn_momentum=0.1):
@@ -62,7 +62,16 @@ class SetAbstraction(nn.Module):
             )
         else:
             fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
-        if self.ballquery_impl == "pallas":
+        from point2cyl_tpu.ops.pallas_ballquery import (
+            ball_query_shapes_supported,
+        )
+
+        use_pallas_bq = self.ballquery_impl == "pallas" or (
+            self.ballquery_impl == "auto"
+            and jax.default_backend() != "cpu"
+            and ball_query_shapes_supported(xyz.shape[1], self.npoint)
+        )
+        if use_pallas_bq:
             from point2cyl_tpu.ops.grouping import index_points
             from point2cyl_tpu.ops.pallas_ballquery import ball_query_pallas
 
