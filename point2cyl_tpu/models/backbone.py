@@ -73,19 +73,54 @@ class SetAbstraction(nn.Module):
         )
         if use_pallas_bq:
             from point2cyl_tpu.ops.grouping import index_points
-            from point2cyl_tpu.ops.pallas_ballquery import ball_query_pallas
+            from point2cyl_tpu.ops.pallas_ballquery import (
+                _EXACT_N_MAX,
+                ball_query_grouped_pallas,
+                ball_query_pallas,
+            )
 
             new_xyz = index_points(xyz, fps_idx)
-            idx = ball_query_pallas(
-                self.radius, self.nsample, xyz, new_xyz
-            )
-            grouped_xyz = index_points(xyz, idx) - new_xyz[:, :, None, :]
-            if feats is not None:
-                grouped = jnp.concatenate(
-                    [grouped_xyz, index_points(feats, idx)], axis=-1
+            if (
+                not train
+                and feats is None
+                and xyz.shape[1] > _EXACT_N_MAX
+            ):
+                # Inference: the fused kernel also gathers + centers the
+                # neighbor coords (the XLA per-row gather was ~16 ms of a
+                # 53 ms forward). Training keeps the differentiable XLA
+                # gather below.
+                _, grouped = ball_query_grouped_pallas(
+                    self.radius, self.nsample, xyz, new_xyz
+                )
+            elif (
+                not train
+                and feats is not None
+                and xyz.shape[1] <= _EXACT_N_MAX
+            ):
+                # Inference, small-N stage with features: exact-selection
+                # kernel gathers [coords | feats] via one-hot MXU
+                # contractions (replaces two XLA per-row gathers).
+                from point2cyl_tpu.ops.pallas_ballquery import (
+                    sa_grouped_exact_pallas,
+                )
+
+                _, grouped = sa_grouped_exact_pallas(
+                    self.radius, self.nsample, xyz, feats, new_xyz,
+                    tile_q=32,
                 )
             else:
-                grouped = grouped_xyz
+                idx = ball_query_pallas(
+                    self.radius, self.nsample, xyz, new_xyz
+                )
+                grouped_xyz = (
+                    index_points(xyz, idx) - new_xyz[:, :, None, :]
+                )
+                if feats is not None:
+                    grouped = jnp.concatenate(
+                        [grouped_xyz, index_points(feats, idx)], axis=-1
+                    )
+                else:
+                    grouped = grouped_xyz
         else:
             new_xyz, grouped = sample_and_group(
                 self.npoint, self.radius, self.nsample, xyz, feats, fps_idx,

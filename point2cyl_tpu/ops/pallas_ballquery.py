@@ -62,9 +62,10 @@ def _compact(cand, valid, nsample):
     cand/valid: (TQ, M) float32 (valid is 0/1). Returns (TQ, nsample)
     int32.
     """
-    m = cand.shape[1]
-    # Inclusive cumulative rank via one triangular matmul (exact in f32:
-    # ranks are small integers).
+    tq, m = cand.shape
+    # Inclusive cumulative rank via one triangular matmul. DEFAULT (bf16)
+    # precision is exact here: operands are 0/1 and accumulation happens
+    # in f32 (ranks are small integers).
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
@@ -72,11 +73,14 @@ def _compact(cand, valid, nsample):
     rank = jax.lax.dot_general(
         valid, tri,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # (TQ, M)
     total = rank[:, m - 1 : m]  # (TQ, 1) valid-candidate count
     rankv = rank * valid  # 0 for invalid -> one-hot test needs no mask
+    # rank->slot scatter as a per-slot loop of 2D ops. Measured against a
+    # (TQ, M, slots) one-hot formulation (both full and 16-slot-chunked):
+    # 3D variants lose badly because a minor dim < 128 pads to a full
+    # 128-lane vreg (8x wasted traffic); the 2D loop stays dense.
     slots = []
     for r in range(nsample):
         # `sel` is one-hot per row, so a masked row-sum realizes the
@@ -168,6 +172,240 @@ def _ballquery_kernel(q_ref, p_ref, out_ref, *, radius2: float,
     out_ref[0] = _compact(cand, valid, nsample)
 
 
+def _ballquery_grouped_kernel(q_ref, p_ref, out_ref, g_ref, *,
+                              radius2: float, nsample: int, ncand: int):
+    """Ball query + fused neighbor-coordinate gather.
+
+    Emits both the neighbor indices and the centered grouped coordinates
+    (channels-first), eliminating the XLA gather that dominated the
+    set-abstraction stage (~16 ms of a 53 ms forward at B=64/N=8192; XLA's
+    per-row gather costs ~8 ns/row * B*S*nsample rows).
+
+    The in-kernel gather decomposes each selected index as
+    ``idx = 128*jj + ll`` and realizes ``p[idx]`` as a one-hot matmul
+    over blocks (rows of a (nblocks, 128) view of ``p``) followed by a
+    vreg-local lane shuffle — the only dynamic-gather form Mosaic
+    supports (full-width take_along_axis within one 128-lane vreg).
+    """
+    q = q_ref[0]  # (TQ, 3)
+    p = p_ref[0]  # (3, N)
+    tq = q.shape[0]
+    n = p.shape[1]
+    nblocks = n // _BLK
+
+    cross = jax.lax.dot_general(
+        q, p,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    d = (
+        jnp.sum(q * q, axis=1, keepdims=True)
+        + jnp.sum(p * p, axis=0)[None, :]
+        - 2.0 * cross
+    )  # (TQ, N)
+
+    w2 = (
+        (d.reshape(tq, nblocks, _BLK) <= radius2)
+        .astype(jnp.float32)
+        .reshape(tq * nblocks, _BLK)
+    )
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BLK), 1)
+    ).astype(jnp.float32)
+    rank3 = jax.lax.dot_general(
+        w2, tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(tq, nblocks, _BLK)
+    counts = rank3[:, :, _BLK - 1]
+    base = (
+        jax.lax.broadcasted_iota(jnp.int32, (tq, nblocks), 1) * _BLK
+    ).astype(jnp.float32)
+    cands = []
+    valids = []
+    for c in range(ncand):
+        first = jnp.sum(
+            (rank3 <= jnp.float32(c)).astype(jnp.float32), axis=2
+        )
+        valids.append((counts >= jnp.float32(c + 1)).astype(jnp.float32))
+        cands.append(base + jnp.minimum(first, jnp.float32(_BLK - 1)))
+    cand = jnp.concatenate(cands, axis=1)
+    valid = jnp.concatenate(valids, axis=1)
+
+    idx = _compact(cand, valid, nsample)  # (TQ, nsample)
+    out_ref[0] = idx
+
+    # --- fused gather: p[idx] - q ---
+    jj = idx // _BLK  # (TQ, NS) block of each neighbor
+    ll = idx - jj * _BLK  # lane within block
+    onehot = (
+        jj[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (tq, nsample, nblocks), 2)
+    ).astype(jnp.float32)
+    onehot2 = onehot.reshape(tq * nsample, nblocks)
+    llb = jnp.broadcast_to(
+        ll[:, :, None], (tq, nsample, _BLK)
+    ).reshape(tq * nsample, _BLK)
+    p3 = p.reshape(3, nblocks, _BLK)
+    dims = (((1,), (0,)), ((), ()))
+    for cdim in range(3):
+        # rows[r] = the 128-lane block containing selected point r.
+        # hi/lo split: the one-hot contraction is a pure row-select; two
+        # DEFAULT bf16 passes keep ~1e-5 abs coordinate accuracy (the
+        # one-hot operand is exact) at a third of the HIGHEST VMEM/time.
+        pc = p3[cdim]
+        pc_hi = pc.astype(jnp.bfloat16).astype(jnp.float32)
+        rows = jax.lax.dot_general(
+            onehot2, pc_hi, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            onehot2, pc - pc_hi, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )  # (TQ*NS, 128)
+        picked = jnp.take_along_axis(rows, llb, axis=1)  # vreg shuffle
+        g = picked.reshape(tq, nsample, _BLK)[:, :, 0]
+        g_ref[0, cdim] = g - q[:, cdim : cdim + 1]
+
+
+def _sa_grouped_exact_kernel(q_ref, p_ref, f_ref, out_ref, g_ref, *,
+                             radius2: float, nsample: int,
+                             slot_chunk: int):
+    """Exact-path ball query + fused gather of [coords | feats].
+
+    For small N (the deeper set-abstraction stages) the whole ``p`` table
+    fits one one-hot contraction: selected rows of ``[p | feats]`` are
+    gathered with a (slot-chunked) one-hot matmul on the MXU and the
+    coordinate channels centered in VMEM — no XLA per-row gather.
+    """
+    q = q_ref[0]  # (TQ, 3)
+    p = p_ref[0]  # (N, 3) — small N, no transpose needed
+    f = f_ref[0]  # (N, C)
+    tq = q.shape[0]
+    n = p.shape[0]
+
+    cross = jax.lax.dot_general(
+        q, p,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    d = (
+        jnp.sum(q * q, axis=1, keepdims=True)
+        + jnp.sum(p * p, axis=1)[None, :]
+        - 2.0 * cross
+    )
+    valid = (d <= radius2).astype(jnp.float32)
+    cand = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1).astype(
+        jnp.float32
+    )
+    idx = _compact(cand, valid, nsample)  # (TQ, NS)
+    out_ref[0] = idx
+
+    table = jnp.concatenate([p, f], axis=1)  # (N, 3 + C)
+    # hi/lo split: two DEFAULT (single-pass bf16) one-hot matmuls recover
+    # ~17 mantissa bits (~1e-5 rel error) at 1/3 the cost of a HIGHEST
+    # contraction; Mosaic has no HIGH dot. Inference-only path, so
+    # bit-exactness vs the XLA gather is not required.
+    table_hi = table.astype(jnp.bfloat16).astype(jnp.float32)
+    table_lo = table - table_hi
+    for k in range(nsample // slot_chunk):
+        jj = idx[:, k * slot_chunk : (k + 1) * slot_chunk]
+        onehot = (
+            jj[:, :, None]
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (tq, slot_chunk, n), 2
+            )
+        ).astype(jnp.float32)
+        oh2 = onehot.reshape(tq * slot_chunk, n)
+        dims = (((1,), (0,)), ((), ()))
+        rows = (
+            jax.lax.dot_general(
+                oh2, table_hi, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                oh2, table_lo, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+        ).reshape(tq, slot_chunk, table.shape[1])
+        centered = jnp.concatenate(
+            [rows[:, :, :3] - q[:, None, :], rows[:, :, 3:]], axis=2
+        )
+        g_ref[0, :, k * slot_chunk : (k + 1) * slot_chunk, :] = centered
+
+
+def sa_grouped_exact_pallas(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    feats: jax.Array,
+    new_xyz: jax.Array,
+    tile_q: int = 128,
+    slot_chunk: int = 16,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused exact ball query + neighbor gather for small-N stages.
+
+    Returns ``(idx, grouped)`` with ``grouped`` (B, S, nsample, 3 + C) =
+    ``concat([xyz[idx] - center, feats[idx]], -1)`` — the set-abstraction
+    MLP input of ``pointnet_util.py:110-143`` with exact reference
+    neighbor selection. Inference path only (no gradients to inputs).
+    Requires N <= 1024.
+    """
+    b, n, _ = xyz.shape
+    s = new_xyz.shape[1]
+    c = feats.shape[-1]
+    if n > _EXACT_N_MAX:
+        raise ValueError(f"exact grouped kernel needs N <= {_EXACT_N_MAX}")
+    tile_q = min(tile_q, s)
+    if s % tile_q != 0 or nsample % slot_chunk != 0:
+        raise ValueError("tile/chunk must divide S/nsample")
+    idx, grouped = pl.pallas_call(
+        functools.partial(
+            _sa_grouped_exact_kernel, radius2=radius * radius,
+            nsample=nsample, slot_chunk=slot_chunk,
+        ),
+        grid=(b, s // tile_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_q, 3), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n, 3), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n, c), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile_q, nsample), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_q, nsample, 3 + c),
+                lambda bi, ti: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((b, s, nsample, 3 + c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jax.lax.stop_gradient(new_xyz),
+        jax.lax.stop_gradient(xyz),
+        jax.lax.stop_gradient(feats),
+    )
+    return idx, grouped
+
+
 def ball_query_shapes_supported(n: int, s: int) -> bool:
     """True when the kernel's shape constraints hold (used by the
     backbone's "auto" backend selection)."""
@@ -229,3 +467,72 @@ def ball_query_pallas(
         out_shape=jax.ShapeDtypeStruct((b, s, nsample), jnp.int32),
         interpret=interpret,
     )(new_xyz, jax.lax.stop_gradient(jnp.swapaxes(xyz, 1, 2)))
+
+
+def ball_query_grouped_pallas(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    tile_q: int = 64,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused ball query + neighbor gather + centering.
+
+    Returns ``(idx, grouped)`` where ``idx`` is (B, S, nsample) int32 and
+    ``grouped`` is (B, S, nsample, 3): ``xyz[idx] - new_xyz[:, :, None]``,
+    the input of the set-abstraction MLP (``pointnet_util.py:110-143``)
+    computed without the XLA per-row gather. Inference path only — the
+    result carries no gradient to ``xyz``/``new_xyz`` (the training path
+    keeps the idx kernel + differentiable XLA gather).
+
+    Requires N % 128 == 0 and N > 1024 (the blocked path); use
+    ``ball_query_pallas`` + XLA gather otherwise.
+    """
+    b, n, _ = xyz.shape
+    s = new_xyz.shape[1]
+    if n <= _EXACT_N_MAX or n % _BLK != 0:
+        raise ValueError(
+            f"grouped kernel needs N % {_BLK} == 0 and N > {_EXACT_N_MAX}"
+            f", got N={n}"
+        )
+    tile_q = min(tile_q, s)
+    if s % tile_q != 0:
+        raise ValueError(f"S={s} must be divisible by tile_q={tile_q}")
+    ncand = max(1, -(-_OVERSAMPLE * nsample // (n // _BLK)))
+    idx, grouped = pl.pallas_call(
+        functools.partial(
+            _ballquery_grouped_kernel, radius2=radius * radius,
+            nsample=nsample, ncand=ncand,
+        ),
+        grid=(b, s // tile_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_q, 3), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, n), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile_q, nsample), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, tile_q, nsample), lambda bi, ti: (bi, 0, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((b, 3, s, nsample), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jax.lax.stop_gradient(new_xyz),
+        jax.lax.stop_gradient(jnp.swapaxes(xyz, 1, 2)),
+    )
+    return idx, jnp.moveaxis(grouped, 1, -1)

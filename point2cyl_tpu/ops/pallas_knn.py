@@ -20,6 +20,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _dot_high(a, b, dims):
+    """~Precision.HIGH f32 matmul as three DEFAULT (bf16) passes.
+
+    Mosaic supports only DEFAULT (1 bf16 pass, ~8 mantissa bits) and
+    HIGHEST (6 passes). Splitting both operands hi/lo and dropping the
+    lo*lo term recovers ~17 mantissa bits at half the HIGHEST cost —
+    plenty for interpolated features (abs error ~1e-5).
+    """
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
 def _knn3_kernel(dst_ref, src_ref, feats_ref, out_ref, *, eps: float):
     q = dst_ref[0]  # (T, 3)
     p = src_ref[0]  # (S, 3)
@@ -52,13 +71,11 @@ def _knn3_kernel(dst_ref, src_ref, feats_ref, out_ref, *, eps: float):
         wsum = wsum + wk
         dcur = jnp.where(onehot > 0, jnp.inf, dcur)
     weights = weights / wsum
-    # HIGHEST: the 3-hot weight rows are O(1), bf16 MXU inputs would cost
-    # ~1e-3 absolute error in the interpolated features
-    out_ref[0] = jax.lax.dot_general(
-        weights, f,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+    # ~HIGH precision: bare bf16 MXU inputs would cost ~1e-3 absolute
+    # error in the interpolated features; the 3-pass hi/lo decomposition
+    # keeps it at ~1e-5 for half the HIGHEST cost.
+    out_ref[0] = _dot_high(
+        weights, f.astype(jnp.float32), (((1,), (0,)), ((), ()))
     ).astype(out_ref.dtype)
 
 
@@ -102,11 +119,8 @@ def _knn3_bwd_kernel(dst_ref, src_ref, g_ref, out_ref, *, eps: float):
         wsum = wsum + wk
         dcur = jnp.where(onehot > 0, jnp.inf, dcur)
     weights = weights / wsum
-    contrib = jax.lax.dot_general(
-        weights, g.astype(jnp.float32),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+    contrib = _dot_high(
+        weights, g.astype(jnp.float32), (((0,), (0,)), ((), ()))
     )  # (S, C)
 
     @pl.when(ti == 0)

@@ -4,7 +4,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from point2cyl_tpu.ops.pallas_ballquery import ball_query_pallas
+from point2cyl_tpu.ops.pallas_ballquery import (
+    ball_query_grouped_pallas,
+    ball_query_pallas,
+    sa_grouped_exact_pallas,
+)
 
 RNG = np.random.default_rng(23)
 
@@ -74,3 +78,59 @@ def test_ball_query_pallas_diversity_and_padding():
     # breadth-first per-block oversampling: >= 99% of the achievable
     # distinct-neighbor count (round-1 kernel lost ~27% here)
     assert shortfall <= 0.01 * expected, (shortfall, expected)
+
+
+def test_ball_query_grouped_matches_gather():
+    """The fused grouped kernel returns exactly xyz[idx] - center."""
+    B, N, S, NS = 2, 2048, 128, 32
+    pts = RNG.normal(size=(B, N, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    q = pts[:, :S]
+    idx, grouped = ball_query_grouped_pallas(
+        0.4, NS, jnp.asarray(pts), jnp.asarray(q), tile_q=32,
+        interpret=True,
+    )
+    idx, grouped = np.asarray(idx), np.asarray(grouped)
+    want = np.stack(
+        [pts[b][idx[b]] for b in range(B)]
+    ) - q[:, :, None, :]
+    np.testing.assert_array_equal(grouped, want)
+
+
+def test_sa_grouped_exact_matches_gather():
+    """The exact-path fused kernel returns [xyz[idx]-center | feats[idx]]
+    (hi/lo one-hot matmul gather: ~1e-5 abs tolerance)."""
+    B, N, S, NS, C = 2, 512, 64, 32, 16
+    pts = RNG.normal(size=(B, N, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    feats = RNG.normal(size=(B, N, C)).astype(np.float32)
+    q = pts[:, :S]
+    idx, grouped = sa_grouped_exact_pallas(
+        0.4, NS, jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(q),
+        tile_q=32, interpret=True,
+    )
+    idx, grouped = np.asarray(idx), np.asarray(grouped)
+    want_xyz = np.stack(
+        [pts[b][idx[b]] for b in range(B)]
+    ) - q[:, :, None, :]
+    want_f = np.stack([feats[b][idx[b]] for b in range(B)])
+    np.testing.assert_allclose(grouped[..., :3], want_xyz, atol=1e-4)
+    np.testing.assert_allclose(grouped[..., 3:], want_f, atol=1e-4)
+    # exact path == reference selection: nsample smallest in-radius
+    d = np.linalg.norm(
+        q[:, :, None].astype(np.float64) - pts[:, None].astype(np.float64),
+        axis=-1,
+    )
+    within = d <= 0.4
+    for b in range(B):
+        for s in range(S):
+            ins = np.nonzero(within[b, s])[0]
+            want_sel = (
+                ins[:NS]
+                if len(ins) >= NS
+                else np.concatenate(
+                    [ins, np.full(NS - len(ins), ins[0], np.int64)]
+                )
+            )
+            np.testing.assert_array_equal(np.sort(idx[b, s]),
+                                          np.sort(want_sel))
