@@ -2,11 +2,14 @@
 
 North-star (BASELINE.md): >= 1000 clouds/sec inference at N=8192 on one
 TPU v5e chip; ``vs_baseline`` is the ratio against that target. Prints ONE
-JSON line.
+JSON line by default; ``--sweep`` appends N-scaling lines (the streaming
+Pallas set-abstraction path keeps N=32768 within the v5e HBM/VMEM budget
+— no O(S*N) intermediate is ever materialized).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -18,25 +21,27 @@ from point2cyl_tpu.core.config import BackboneConfig
 from point2cyl_tpu.models.backbone import Backbone
 
 TARGET = 1000.0  # clouds/sec/chip (BASELINE.json north-star)
-N_POINTS = 8192
-BATCH = 64  # amortizes the sequential FPS iterations; B=32 hits an XLA
-            # layout pathology on v5e — avoid
 WARMUP = 3
 ITERS = 10
 
 
-def main() -> None:
+def throughput(n_points: int, batch: int, iters: int = ITERS) -> float:
+    """Measure inference clouds/sec at the given shape.
+
+    Batch default 64 amortizes the sequential FPS iterations; B=32 hits
+    an XLA layout pathology on v5e at N=8192 — avoid.
+    """
     model = Backbone(
-        BackboneConfig(num_points=N_POINTS, output_sizes=(3, 16))
+        BackboneConfig(num_points=n_points, output_sizes=(3, 16))
     )
     rng = np.random.default_rng(0)
     # Distinct inputs per iteration so no layer of the stack (or the
     # remote-execution tunnel) can cache repeated work.
     inputs = [
         jnp.asarray(
-            rng.normal(size=(BATCH, N_POINTS, 3)).astype(np.float32)
+            rng.normal(size=(batch, n_points, 3)).astype(np.float32)
         )
-        for _ in range(ITERS)
+        for _ in range(iters)
     ]
     key = jax.random.key(0)
     variables = model.init(
@@ -65,17 +70,43 @@ def main() -> None:
         acc = reduce_out(acc, forward(variables, p))
     float(acc)  # single host sync at the end
     dt = time.perf_counter() - t0
-    clouds_per_sec = BATCH * ITERS / dt
+    return batch * iters / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="also report N=16384/32768 streaming-path throughput",
+    )
+    args = ap.parse_args()
+
+    cps = throughput(args.n, args.batch)
     print(
         json.dumps(
             {
-                "metric": "inference_throughput_n8192",
-                "value": round(clouds_per_sec, 2),
+                "metric": f"inference_throughput_n{args.n}",
+                "value": round(cps, 2),
                 "unit": "clouds/sec/chip",
-                "vs_baseline": round(clouds_per_sec / TARGET, 4),
+                "vs_baseline": round(cps / TARGET, 4),
             }
         )
     )
+    if args.sweep:
+        for n, b in ((16384, 16), (32768, 8)):
+            cps = throughput(n, b, iters=5)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"inference_throughput_n{n}",
+                        "value": round(cps, 2),
+                        "unit": "clouds/sec/chip",
+                        "vs_baseline": round(cps / TARGET, 4),
+                    }
+                )
+            )
 
 
 if __name__ == "__main__":

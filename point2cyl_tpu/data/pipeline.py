@@ -91,11 +91,21 @@ class InputPipeline:
         return self._gather(self._dev, jnp.asarray(rows, jnp.int32), key)
 
     def epochs(
-        self, batch_size: int, key: jax.Array, shuffle: bool = True
+        self,
+        batch_size: int,
+        key: jax.Array,
+        shuffle: bool = True,
+        rows_slice: slice | None = None,
     ) -> Iterator[dict]:
         """Yield batches for one epoch (drops the ragged tail, like a
         drop_last loader; reference keeps ragged tails but every consumer
-        immediately re-reads batch_size from the tensor)."""
+        immediately re-reads batch_size from the tensor).
+
+        ``rows_slice`` restricts each global batch to this process's rows
+        for multi-host data parallelism: every process derives the SAME
+        epoch order and batch keys from the shared seed, then assembles
+        only its slice (``parallel/distributed.py``).
+        """
         # The shuffle order derives from the caller's key, not from a
         # stateful host RNG: a crash-resumed epoch E then replays exactly
         # the order the uninterrupted run would have used.
@@ -109,6 +119,8 @@ class InputPipeline:
         nb = self.num_samples // batch_size
         for i in range(nb):
             rows = order[i * batch_size : (i + 1) * batch_size]
+            if rows_slice is not None:
+                rows = rows[rows_slice]
             key, sub = jax.random.split(key)
             yield self.batch(rows, sub)
 

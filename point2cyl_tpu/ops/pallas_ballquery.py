@@ -417,12 +417,22 @@ def ball_query_shapes_supported(n: int, s: int) -> bool:
     return s % min(s, 64) == 0
 
 
+def _auto_tile_q(n: int) -> int:
+    """Query-tile size keeping the kernel's (TQ, N)-shaped temporaries
+    within the 16 MB scoped VMEM."""
+    if n <= 8192:
+        return 64
+    if n <= 16384:
+        return 32
+    return 16
+
+
 def ball_query_pallas(
     radius: float,
     nsample: int,
     xyz: jax.Array,
     new_xyz: jax.Array,
-    tile_q: int = 64,
+    tile_q: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused ball query. Args as ``ops.grouping.ball_query``; requires
@@ -439,7 +449,7 @@ def ball_query_pallas(
     s = new_xyz.shape[1]
     if n > _EXACT_N_MAX and n % _BLK != 0:
         raise ValueError(f"N={n} must be divisible by {_BLK}")
-    tile_q = min(tile_q, s)
+    tile_q = min(tile_q or _auto_tile_q(n), s)
     if s % tile_q != 0:
         raise ValueError(f"S={s} must be divisible by tile_q={tile_q}")
     nblocks = max(n // _BLK, 1)
@@ -474,7 +484,7 @@ def ball_query_grouped_pallas(
     nsample: int,
     xyz: jax.Array,
     new_xyz: jax.Array,
-    tile_q: int = 64,
+    tile_q: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused ball query + neighbor gather + centering.
@@ -496,7 +506,7 @@ def ball_query_grouped_pallas(
             f"grouped kernel needs N % {_BLK} == 0 and N > {_EXACT_N_MAX}"
             f", got N={n}"
         )
-    tile_q = min(tile_q, s)
+    tile_q = min(tile_q or _auto_tile_q(n), s)
     if s % tile_q != 0:
         raise ValueError(f"S={s} must be divisible by tile_q={tile_q}")
     ncand = max(1, -(-_OVERSAMPLE * nsample // (n // _BLK)))

@@ -59,8 +59,17 @@ def farthest_point_sample_pallas(
     """Drop-in for ``ops.sampling.farthest_point_sample`` on TPU.
 
     Args: xyz (B, N, 3). Returns (B, npoint) int32 indices.
+
+    Large N: the iteration state is 4 (b_tile, N) f32 planes in VMEM, so
+    the batch is tiled to keep ~8 MB resident (b_tile=64 at N=8192,
+    16 at N=32768, ...) — N scales to HBM limits, not VMEM limits.
     """
     b, n, _ = xyz.shape
+    b_tile = b
+    while b_tile > 1 and b_tile * n * 4 * 4 > 8 * 1024 * 1024:
+        b_tile //= 2
+    while b % b_tile:
+        b_tile -= 1
     if key is not None:
         start = jax.random.randint(key, (1, b), 0, n, dtype=jnp.int32)
     else:
@@ -70,15 +79,23 @@ def farthest_point_sample_pallas(
     # which has no JVP rule
     xyz = jax.lax.stop_gradient(xyz)
     planes = jnp.transpose(xyz, (2, 0, 1)).astype(jnp.float32)  # (3, B, N)
+    plane_spec = pl.BlockSpec(
+        (b_tile, n), lambda bi: (bi, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         functools.partial(_fps_kernel, npoint=npoint),
+        grid=(b // b_tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            plane_spec,
+            plane_spec,
+            plane_spec,
+            pl.BlockSpec(
+                (1, b_tile), lambda bi: (0, bi), memory_space=pltpu.VMEM
+            ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (b_tile, npoint), lambda bi: (bi, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_tile, n), jnp.float32)],
     )(planes[0], planes[1], planes[2], start)

@@ -389,6 +389,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=None,
                    help="shard the batch over this many devices "
                    "(default: all local devices)")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-controller run via "
+                   "jax.distributed.initialize before training")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=None)
     p.add_argument("--synthetic_resolution", type=int, default=8192)
     p.add_argument("--seed", type=int, default=0)
@@ -397,6 +403,13 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def cli_main() -> None:
     args = build_argparser().parse_args()
+    if args.multihost:
+        # must run before any other JAX backend use
+        from point2cyl_tpu.parallel.distributed import initialize
+
+        initialize(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
     cfg = TrainConfig(
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,
@@ -482,11 +495,32 @@ def cli_main() -> None:
     # data parallelism over the batch axis, same recipe as trainer A
     # (train_pc.py): replicate state, shard batches, XLA inserts the
     # gradient all-reduce from the shardings.
-    n_dev = args.data_parallel or len(jax.devices())
-    while cfg.batch_size % n_dev:
-        n_dev -= 1
-    mesh = make_mesh(n_dev)
-    logger.log(f"data-parallel over {n_dev} device(s)")
+    multihost = jax.process_count() > 1
+    if multihost:
+        from point2cyl_tpu.parallel.distributed import (
+            process_batch_slice,
+            shard_batch_multihost,
+        )
+
+        n_dev = len(jax.devices())
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"--batch_size {cfg.batch_size} must divide over "
+                f"{n_dev} global devices for multi-host runs"
+            )
+        rows_slice = process_batch_slice(cfg.batch_size)
+        mesh = make_mesh(n_dev)
+        logger.log(
+            f"multi-host data-parallel: {jax.process_count()} processes"
+            f" x {jax.local_device_count()} devices"
+        )
+    else:
+        rows_slice = None
+        n_dev = args.data_parallel or len(jax.devices())
+        while cfg.batch_size % n_dev:
+            n_dev -= 1
+        mesh = make_mesh(n_dev)
+        logger.log(f"data-parallel over {n_dev} device(s)")
 
     # staged init (train_Point2Cyl.py:329-344)
     if args.is_pc_init:
@@ -556,8 +590,15 @@ def cli_main() -> None:
         # epoch/step-keyed streams so resume replays the same sequence
         k_epoch = jax.random.fold_in(key, epoch)
         aux_buf = []
-        for i, batch in enumerate(pipeline.epochs(cfg.batch_size, k_epoch)):
-            batch = shard_batch(mesh, batch)
+        for i, batch in enumerate(
+            pipeline.epochs(cfg.batch_size, k_epoch, rows_slice=rows_slice)
+        ):
+            if multihost:
+                batch = shard_batch_multihost(
+                    mesh, jax.device_get(batch), cfg.batch_size
+                )
+            else:
+                batch = shard_batch(mesh, batch)
             state, aux = train_step(
                 state, batch, jax.random.fold_in(k_epoch, i)
             )

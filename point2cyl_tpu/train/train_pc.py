@@ -66,11 +66,34 @@ def train(
         ds = load_h5(h5_path)
     pipeline = InputPipeline(ds, num_points, k, seed=cfg.seed)
 
-    n_dev = cfg.data_parallel or len(jax.devices())
-    while cfg.batch_size % n_dev:
-        n_dev -= 1  # largest device count that divides the batch
-    mesh = make_mesh(n_dev)
-    logger.log(f"data-parallel over {n_dev} device(s)")
+    multihost = jax.process_count() > 1
+    if multihost:
+        # Global mesh over every process's devices; this process feeds
+        # only its batch rows (parallel/distributed.py recipe).
+        from point2cyl_tpu.parallel.distributed import (
+            process_batch_slice,
+            shard_batch_multihost,
+        )
+
+        n_dev = len(jax.devices())
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"--batch_size {cfg.batch_size} must divide over "
+                f"{n_dev} global devices for multi-host runs"
+            )
+        rows_slice = process_batch_slice(cfg.batch_size)
+        mesh = make_mesh(n_dev)
+        logger.log(
+            f"multi-host data-parallel: {jax.process_count()} processes"
+            f" x {jax.local_device_count()} devices"
+        )
+    else:
+        rows_slice = None
+        n_dev = cfg.data_parallel or len(jax.devices())
+        while cfg.batch_size % n_dev:
+            n_dev -= 1  # largest device count that divides the batch
+        mesh = make_mesh(n_dev)
+        logger.log(f"data-parallel over {n_dev} device(s)")
     model = build_model(cfg, num_points, k)
     tx = steps.make_optimizer(cfg)
     key = jax.random.key(cfg.seed)
@@ -103,9 +126,14 @@ def train(
         k_epoch = jax.random.fold_in(key, epoch)
         aux_buf = []
         for i, batch in enumerate(
-            pipeline.epochs(cfg.batch_size, k_epoch)
+            pipeline.epochs(cfg.batch_size, k_epoch, rows_slice=rows_slice)
         ):
-            batch = shard_batch(mesh, batch)
+            if multihost:
+                batch = shard_batch_multihost(
+                    mesh, jax.device_get(batch), cfg.batch_size
+                )
+            else:
+                batch = shard_batch(mesh, batch)
             state, aux = train_step(
                 state, batch, jax.random.fold_in(k_epoch, i)
             )
@@ -185,6 +213,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="restore the full TrainState (params, BN, optimizer"
                    ", step) from <logdir>/model and continue")
     # TPU-framework extensions
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-controller run via "
+                   "jax.distributed.initialize before training "
+                   "(SURVEY.md section 2.3; coordinator flags optional "
+                   "on cloud TPU pods)")
+    p.add_argument("--coordinator_address", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--synthetic", type=int, default=None,
                    help="train on N synthetic solids instead of h5 data")
     p.add_argument("--synthetic_resolution", type=int, default=8192)
@@ -227,6 +263,13 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
 
 def cli_main() -> None:
     args = build_argparser().parse_args()
+    if args.multihost:
+        # must run before any other JAX backend use
+        from point2cyl_tpu.parallel.distributed import initialize
+
+        initialize(
+            args.coordinator_address, args.num_processes, args.process_id
+        )
     cfg = config_from_args(args)
     h5_path = None
     if not args.synthetic:

@@ -164,3 +164,94 @@ def test_joint_train_step_matches_single_device():
         )
     leaf = jax.tree.leaves(new_state.pc_params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_process_batch_slice_math():
+    """Per-process contiguous row slices tile the global batch exactly."""
+    from point2cyl_tpu.parallel.distributed import process_batch_slice
+
+    rows = np.arange(64)
+    parts = [
+        rows[process_batch_slice(64, process_id=p, process_count=4)]
+        for p in range(4)
+    ]
+    np.testing.assert_array_equal(np.concatenate(parts), rows)
+    assert all(len(p) == 16 for p in parts)
+    with np.testing.assert_raises(ValueError):
+        process_batch_slice(10, process_id=0, process_count=4)
+
+
+def test_shard_batch_multihost_single_process_equals_shard_batch():
+    """On one process the multihost assembly path must equal shard_batch
+    exactly (same sharding, same values)."""
+    from point2cyl_tpu.parallel.distributed import (
+        process_batch_slice,
+        shard_batch_multihost,
+    )
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    batch = {
+        "a": rng.normal(size=(16, 32, 3)).astype(np.float32),
+        "b": rng.integers(0, 5, size=(16, 32)).astype(np.int32),
+    }
+    local = {
+        k: v[process_batch_slice(16, process_id=0, process_count=1)]
+        for k, v in batch.items()
+    }
+    got = shard_batch_multihost(mesh, local, 16)
+    want = shard_batch(mesh, batch)
+    for k in batch:
+        assert got[k].shape == want[k].shape
+        assert got[k].sharding == want[k].sharding
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k])
+        )
+
+
+def test_multihost_two_process_cpu():
+    """True multi-controller run: two processes, 2 CPU devices each,
+    global mesh of 4; per-process batch assembly via
+    shard_batch_multihost and a global reduction (SURVEY.md section 2.3
+    multi-host plan)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    worker = textwrap.dedent(
+        """
+        import sys, os
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid = int(sys.argv[1])
+        from point2cyl_tpu.parallel.distributed import (
+            initialize, process_batch_slice, shard_batch_multihost,
+        )
+        initialize("localhost:%PORT%", 2, pid)
+        assert jax.process_count() == 2
+        from point2cyl_tpu.parallel.mesh import make_mesh
+        import numpy as np, jax.numpy as jnp
+        mesh = make_mesh()
+        gbs = 8
+        full = np.arange(gbs * 3, dtype=np.float32).reshape(gbs, 3)
+        local = {"x": full[process_batch_slice(gbs)]}
+        g = shard_batch_multihost(mesh, local, gbs)
+        s = float(jax.jit(jnp.sum)(g["x"]))
+        assert abs(s - float(full.sum())) < 1e-5, s
+        print("MH_OK", pid)
+        """
+    ).replace("%PORT%", "12387")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+        assert "MH_OK" in out
