@@ -73,6 +73,42 @@ def throughput(n_points: int, batch: int, iters: int = ITERS) -> float:
     return batch * iters / dt
 
 
+def train_throughput(n_points: int, batch: int, steps_n: int = 20) -> float:
+    """Trainer-A optimizer-step throughput (clouds/sec) at the given
+    shape: full forward+backward+adam as one XLA program, reference loss
+    stack, data-parallel sharding over all local devices."""
+    from point2cyl_tpu.core.config import TrainConfig
+    from point2cyl_tpu.data.pipeline import InputPipeline
+    from point2cyl_tpu.data.synthetic import generate_dataset
+    from point2cyl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from point2cyl_tpu.train import steps
+    from point2cyl_tpu.train.train_pc import build_model
+
+    cfg = TrainConfig(batch_size=batch)
+    ds = generate_dataset(max(batch, 8), resolution=n_points, seed=0)
+    pipe = InputPipeline(ds, n_points, 8)
+    n_dev = len(jax.devices())
+    while batch % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(n_dev)
+    model = build_model(cfg, n_points, 8)
+    tx = steps.make_optimizer(cfg)
+    key = jax.random.key(0)
+    state = replicate(
+        mesh, steps.init_state(model, cfg, tx, key, n_points)
+    )
+    train_step = steps.make_train_step(model, cfg, tx)
+    rows = np.arange(max(batch, 8))[:batch]
+    batch_d = shard_batch(mesh, pipe.batch(rows, key))
+    state, aux = train_step(state, batch_d, key)  # compile
+    float(aux["total"])
+    t0 = time.perf_counter()
+    for i in range(steps_n):
+        state, aux = train_step(state, batch_d, jax.random.fold_in(key, i))
+    float(aux["total"])  # single sync
+    return batch * steps_n / (time.perf_counter() - t0)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
@@ -80,6 +116,11 @@ def main() -> None:
     ap.add_argument(
         "--sweep", action="store_true",
         help="also report N=16384/32768 streaming-path throughput",
+    )
+    ap.add_argument(
+        "--train", action="store_true",
+        help="also report trainer-A step throughput at B=64 and the "
+        "reference B=4",
     )
     args = ap.parse_args()
 
@@ -101,6 +142,19 @@ def main() -> None:
                 json.dumps(
                     {
                         "metric": f"inference_throughput_n{n}",
+                        "value": round(cps, 2),
+                        "unit": "clouds/sec/chip",
+                        "vs_baseline": round(cps / TARGET, 4),
+                    }
+                )
+            )
+    if args.train:
+        for b in (64, 4):
+            cps = train_throughput(args.n, b)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"train_throughput_b{b}_n{args.n}",
                         "value": round(cps, 2),
                         "unit": "clouds/sec/chip",
                         "vs_baseline": round(cps / TARGET, 4),

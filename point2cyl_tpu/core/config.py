@@ -160,6 +160,9 @@ class TrainConfig:
     # on the data axis.
     data_parallel: Optional[int] = None
     compute_dtype: str = "float32"
+    # Neighbor-op backends forwarded to BackboneConfig ("auto" = fused
+    # Pallas kernels on TPU, XLA elsewhere).
+    ballquery_impl: str = "auto"
     # Restore the full TrainState from <logdir>/model and continue (the
     # reference has no resume path at all and loses up to 10 epochs on a
     # crash, SURVEY.md section 5).

@@ -33,7 +33,9 @@ measured to hurt training: final loss 2.17 vs 1.82), the ~4x candidate
 oversampling makes a padding duplicate require extreme index
 concentration (negligible probability at these shapes); duplicates
 reappear only in the true <nsample-in-radius case where the reference
-pads too.
+pads too. Verified at loss parity: 150-epoch A/B vs the XLA path,
+seed 7 -> 1.462 vs 1.336 and seed 11 -> 2.232 vs 2.586 — one pair each
+way, within seed noise (NOTES.md round-3 item 5).
 """
 
 from __future__ import annotations

@@ -39,13 +39,14 @@ def _dot_high(a, b, dims):
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
-def _knn3_kernel(dst_ref, src_ref, feats_ref, out_ref, *, eps: float):
-    q = dst_ref[0]  # (T, 3)
-    p = src_ref[0]  # (S, 3)
-    f = feats_ref[0]  # (S, C)
-    t = q.shape[0]
-    s = p.shape[0]
+def _knn3_weights(q, p, eps):
+    """Normalized 3-NN inverse-distance weight tile (T, S).
 
+    Selection via min + threshold-compare instead of argmin + iota-onehot
+    (fewer VPU passes; no column iota). Exactly-tied distances share
+    their slot with averaged weight — function-equivalent to picking one
+    arbitrarily, since tied points contribute identical w_k."""
+    t = q.shape[0]
     cross = jax.lax.dot_general(
         q, p,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -57,20 +58,25 @@ def _knn3_kernel(dst_ref, src_ref, feats_ref, out_ref, *, eps: float):
         + jnp.sum(p * p, axis=1)[None, :]
         - 2.0 * cross
     )
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
-    weights = jnp.zeros((t, s), jnp.float32)
+    weights = jnp.zeros_like(d)
     wsum = jnp.zeros((t, 1), jnp.float32)
     dcur = d
     for _ in range(3):
-        idx = jnp.argmin(dcur, axis=1)  # (T,)
-        onehot = (col == idx[:, None]).astype(jnp.float32)
         dk = jnp.min(dcur, axis=1, keepdims=True)  # (T, 1)
+        oh = (dcur <= dk).astype(jnp.float32)  # one-hot up to exact ties
+        cnt = jnp.sum(oh, axis=1, keepdims=True)
         wk = 1.0 / (dk + eps)
-        weights = weights + onehot * wk
+        weights = weights + oh * (wk / cnt)
         wsum = wsum + wk
-        dcur = jnp.where(onehot > 0, jnp.inf, dcur)
-    weights = weights / wsum
+        dcur = dcur + oh * jnp.float32(1e30)
+    return weights / wsum
+
+
+def _knn3_kernel(dst_ref, src_ref, feats_ref, out_ref, *, eps: float):
+    q = dst_ref[0]  # (T, 3)
+    p = src_ref[0]  # (S, 3)
+    f = feats_ref[0]  # (S, C)
+    weights = _knn3_weights(q, p, eps)
     # ~HIGH precision: bare bf16 MXU inputs would cost ~1e-3 absolute
     # error in the interpolated features; the 3-pass hi/lo decomposition
     # keeps it at ~1e-5 for half the HIGHEST cost.
@@ -93,32 +99,7 @@ def _knn3_bwd_kernel(dst_ref, src_ref, g_ref, out_ref, *, eps: float):
     q = dst_ref[0]  # (T, 3)
     p = src_ref[0]  # (S, 3)
     g = g_ref[0]  # (T, C)
-    t = q.shape[0]
-    s = p.shape[0]
-    cross = jax.lax.dot_general(
-        q, p,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    d = (
-        jnp.sum(q * q, axis=1, keepdims=True)
-        + jnp.sum(p * p, axis=1)[None, :]
-        - 2.0 * cross
-    )
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, s), 1)
-    weights = jnp.zeros((t, s), jnp.float32)
-    wsum = jnp.zeros((t, 1), jnp.float32)
-    dcur = d
-    for _ in range(3):
-        idx = jnp.argmin(dcur, axis=1)
-        onehot = (col == idx[:, None]).astype(jnp.float32)
-        dk = jnp.min(dcur, axis=1, keepdims=True)
-        wk = 1.0 / (dk + eps)
-        weights = weights + onehot * wk
-        wsum = wsum + wk
-        dcur = jnp.where(onehot > 0, jnp.inf, dcur)
-    weights = weights / wsum
+    weights = _knn3_weights(q, p, eps)
     contrib = _dot_high(
         weights, g.astype(jnp.float32), (((0,), (0,)), ((), ()))
     )  # (S, C)

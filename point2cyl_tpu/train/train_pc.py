@@ -42,6 +42,7 @@ def build_model(cfg: TrainConfig, num_points: int, k: int) -> Backbone:
             num_points=num_points,
             output_sizes=tuple(sizes),
             compute_dtype=cfg.compute_dtype,
+            ballquery_impl=cfg.ballquery_impl,
         )
     )
 
@@ -226,6 +227,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_resolution", type=int, default=8192)
     p.add_argument("--data_parallel", type=int, default=None)
     p.add_argument("--compute_dtype", type=str, default="float32")
+    p.add_argument("--ballquery_impl", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"])
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -257,6 +260,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         seed=args.seed,
         data_parallel=args.data_parallel,
         compute_dtype=args.compute_dtype,
+        ballquery_impl=args.ballquery_impl,
         resume=args.resume,
     )
 
