@@ -233,8 +233,10 @@ class FeaturePropagation(nn.Module):
                 )
 
                 # positional args: custom_vjp functions reject keywords
+                # (tile 1024 measured fastest at N=8192: fewer programs,
+                # same VMEM class)
                 interpolated = three_nn_interpolate_pallas(
-                    xyz_dst, xyz_src, feats_src, 1e-8, min(512, n)
+                    xyz_dst, xyz_src, feats_src, 1e-8, min(1024, n)
                 )
             else:
                 interpolated = three_nn_interpolate(

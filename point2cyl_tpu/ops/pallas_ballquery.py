@@ -247,27 +247,35 @@ def _ballquery_grouped_kernel(q_ref, p_ref, out_ref, g_ref, *,
         == jax.lax.broadcasted_iota(jnp.int32, (tq, nsample, nblocks), 2)
     ).astype(jnp.float32)
     onehot2 = onehot.reshape(tq * nsample, nblocks)
-    llb = jnp.broadcast_to(
-        ll[:, :, None], (tq, nsample, _BLK)
-    ).reshape(tq * nsample, _BLK)
+    # lane-selection one-hot, used as a masked reduction below (cheaper
+    # than broadcasting ll to full width for take_along_axis + the
+    # lane-0 extraction relayout it requires)
+    ohl = (
+        jax.lax.broadcasted_iota(jnp.int32, (tq, nsample, _BLK), 2)
+        == ll[:, :, None]
+    ).astype(jnp.float32)
+    # One wide block-select matmul for all three coordinate planes
+    # (lane-concatenated (nblocks, 3*128) table) instead of three — same
+    # FLOPs, a third of the op-issue overhead. hi/lo split: the one-hot
+    # contraction is a pure row-select; two DEFAULT bf16 passes keep
+    # ~1e-5 abs coordinate accuracy (the one-hot operand is exact) at a
+    # third of the HIGHEST VMEM/time.
     p3 = p.reshape(3, nblocks, _BLK)
+    ptab = jnp.concatenate([p3[0], p3[1], p3[2]], axis=1)  # (nb, 3*128)
+    ptab_hi = ptab.astype(jnp.bfloat16).astype(jnp.float32)
     dims = (((1,), (0,)), ((), ()))
+    rows3 = jax.lax.dot_general(
+        onehot2, ptab_hi, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        onehot2, ptab - ptab_hi, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )  # (TQ*NS, 3*128)
     for cdim in range(3):
-        # rows[r] = the 128-lane block containing selected point r.
-        # hi/lo split: the one-hot contraction is a pure row-select; two
-        # DEFAULT bf16 passes keep ~1e-5 abs coordinate accuracy (the
-        # one-hot operand is exact) at a third of the HIGHEST VMEM/time.
-        pc = p3[cdim]
-        pc_hi = pc.astype(jnp.bfloat16).astype(jnp.float32)
-        rows = jax.lax.dot_general(
-            onehot2, pc_hi, dimension_numbers=dims,
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            onehot2, pc - pc_hi, dimension_numbers=dims,
-            preferred_element_type=jnp.float32,
-        )  # (TQ*NS, 128)
-        picked = jnp.take_along_axis(rows, llb, axis=1)  # vreg shuffle
-        g = picked.reshape(tq, nsample, _BLK)[:, :, 0]
+        rows = rows3[:, cdim * _BLK : (cdim + 1) * _BLK].reshape(
+            tq, nsample, _BLK
+        )
+        g = jnp.sum(rows * ohl, axis=2)  # (TQ, NS) lane select
         g_ref[0, cdim] = g - q[:, cdim : cdim + 1]
 
 
