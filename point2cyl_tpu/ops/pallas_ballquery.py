@@ -57,6 +57,30 @@ _EXACT_N_MAX = 1024
 _OVERSAMPLE = 4
 
 
+def _cross_term(q, p, exact: bool):
+    """q (TQ, 3) x p (3, N) inner products.
+
+    HIGHEST when ``exact`` (the small-N path claims bit-exact reference
+    selection); otherwise a hi/lo split (two DEFAULT bf16 passes, ~1e-5
+    abs error — far below the radius^2 scale, and the blocked path's
+    selection is statistical anyway).
+    """
+    dims = (((1,), (0,)), ((), ()))
+    if exact:
+        return jax.lax.dot_general(
+            q, p, dimension_numbers=dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    q_hi = q.astype(jnp.bfloat16).astype(jnp.float32)
+    p_hi = p.astype(jnp.bfloat16).astype(jnp.float32)
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    return dot(q_hi, p_hi) + dot(q_hi, p - p_hi) + dot(q - q_hi, p_hi)
+
+
 def _compact(cand, valid, nsample):
     """Pack the first ``nsample`` valid candidates of each row into
     output slots; pad short rows with the first valid candidate.
@@ -111,12 +135,7 @@ def _ballquery_kernel(q_ref, p_ref, out_ref, *, radius2: float,
     tq = q.shape[0]
     n = p.shape[1]
 
-    cross = jax.lax.dot_general(
-        q, p,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    cross = _cross_term(q, p, exact=n <= _EXACT_N_MAX)
     d = (
         jnp.sum(q * q, axis=1, keepdims=True)
         + jnp.sum(p * p, axis=0)[None, :]
@@ -195,12 +214,7 @@ def _ballquery_grouped_kernel(q_ref, p_ref, out_ref, g_ref, *,
     n = p.shape[1]
     nblocks = n // _BLK
 
-    cross = jax.lax.dot_general(
-        q, p,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    cross = _cross_term(q, p, exact=False)
     d = (
         jnp.sum(q * q, axis=1, keepdims=True)
         + jnp.sum(p * p, axis=0)[None, :]

@@ -47,12 +47,11 @@ def _knn3_weights(q, p, eps):
     their slot with averaged weight — function-equivalent to picking one
     arbitrarily, since tied points contribute identical w_k."""
     t = q.shape[0]
-    cross = jax.lax.dot_general(
-        q, p,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (T, S)
+    # ~HIGH-precision cross term (hi/lo split): ~1e-5 abs distance error,
+    # far below neighbor-gap scale — selection is already licensed to be
+    # approximate (the XLA path uses approx_max_k) and the 1/(d+eps)
+    # weights tolerate 1e-5 easily. Half the HIGHEST matmul cost.
+    cross = _dot_high(q, p, (((1,), (1,)), ((), ())))  # (T, S)
     d = (
         jnp.sum(q * q, axis=1, keepdims=True)
         + jnp.sum(p * p, axis=1)[None, :]
