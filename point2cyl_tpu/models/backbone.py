@@ -75,38 +75,25 @@ class SetAbstraction(nn.Module):
             from point2cyl_tpu.ops.grouping import index_points
             from point2cyl_tpu.ops.pallas_ballquery import (
                 _EXACT_N_MAX,
-                ball_query_grouped_pallas,
+                ball_query_grouped,
                 ball_query_pallas,
+                sa_grouped_exact,
             )
 
             new_xyz = index_points(xyz, fps_idx)
-            if (
-                not train
-                and feats is None
-                and xyz.shape[1] > _EXACT_N_MAX
-            ):
-                # Inference: the fused kernel also gathers + centers the
-                # neighbor coords (the XLA per-row gather was ~16 ms of a
-                # 53 ms forward). Training keeps the differentiable XLA
-                # gather below.
-                _, grouped = ball_query_grouped_pallas(
+            if feats is None and xyz.shape[1] > _EXACT_N_MAX:
+                # Fused kernel also gathers + centers the neighbor coords
+                # (the XLA per-row gather was ~16 ms of a 53 ms forward);
+                # custom VJP scatter keeps the training path fused too.
+                _, grouped = ball_query_grouped(
                     self.radius, self.nsample, xyz, new_xyz
                 )
-            elif (
-                not train
-                and feats is not None
-                and xyz.shape[1] <= _EXACT_N_MAX
-            ):
-                # Inference, small-N stage with features: exact-selection
-                # kernel gathers [coords | feats] via one-hot MXU
-                # contractions (replaces two XLA per-row gathers).
-                from point2cyl_tpu.ops.pallas_ballquery import (
-                    sa_grouped_exact_pallas,
-                )
-
-                _, grouped = sa_grouped_exact_pallas(
-                    self.radius, self.nsample, xyz, feats, new_xyz,
-                    tile_q=32,
+            elif feats is not None and xyz.shape[1] <= _EXACT_N_MAX:
+                # Small-N stage with features: exact-selection kernel
+                # gathers [coords | feats] via one-hot MXU contractions
+                # (replaces two XLA per-row gathers), differentiable.
+                _, grouped = sa_grouped_exact(
+                    self.radius, self.nsample, xyz, feats, new_xyz, 32
                 )
             else:
                 idx = ball_query_pallas(

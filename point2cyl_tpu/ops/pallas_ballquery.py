@@ -570,3 +570,219 @@ def ball_query_grouped_pallas(
         jax.lax.stop_gradient(jnp.swapaxes(xyz, 1, 2)),
     )
     return idx, jnp.moveaxis(grouped, 1, -1)
+
+
+def _bqg_scatter_kernel(idx_ref, dg_ref, out_ref):
+    """Backward of the fused gather: scatter-add the grouped-coordinate
+    cotangent back onto the point table.
+
+    out[0, c] accumulates dP_c (nblocks, 128) across query tiles via the
+    transposed one-hot contraction — the exact adjoint of the forward's
+    block-select matmul + lane-select reduce.
+    """
+    ti = pl.program_id(1)
+    idx = idx_ref[0]  # (TQ, NS)
+    tq, ns = idx.shape
+    nblocks = out_ref.shape[2]
+
+    jj = idx // _BLK
+    ll = idx - jj * _BLK
+    onehot2 = (
+        jj[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (tq, ns, nblocks), 2)
+    ).astype(jnp.float32).reshape(tq * ns, nblocks)
+    ohl = (
+        jax.lax.broadcasted_iota(jnp.int32, (tq, ns, _BLK), 2)
+        == ll[:, :, None]
+    ).astype(jnp.float32)
+
+    @pl.when(ti == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    dims = (((0,), (0,)), ((), ()))  # contract the (TQ*NS) row axis
+    for c in range(3):
+        dgc = dg_ref[0, c]  # (TQ, NS)
+        m = (ohl * dgc[:, :, None]).reshape(tq * ns, _BLK)
+        # hi/lo: keep ~f32 gradient accuracy through the bf16 MXU passes
+        m_hi = m.astype(jnp.bfloat16).astype(jnp.float32)
+        dp = jax.lax.dot_general(
+            onehot2, m_hi, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            onehot2, m - m_hi, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )  # (nblocks, 128)
+        out_ref[0, c] += dp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5))
+def ball_query_grouped(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    tile_q: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Differentiable fused ball query + gather + centering.
+
+    Same contract as :func:`ball_query_grouped_pallas` but with a custom
+    VJP: the grouped-coordinate cotangent scatter-adds onto ``xyz`` via a
+    transposed one-hot Pallas kernel and the centering term flows to
+    ``new_xyz`` — so the TRAINING path also avoids the XLA per-row
+    gather and its scatter backward. Neighbor indices are treated as
+    non-differentiable (they are in the reference too).
+    """
+    return ball_query_grouped_pallas(
+        radius, nsample, xyz, new_xyz, tile_q=tile_q, interpret=interpret
+    )
+
+
+def _bqg_fwd(radius, nsample, xyz, new_xyz, tile_q, interpret):
+    idx, grouped = ball_query_grouped_pallas(
+        radius, nsample, xyz, new_xyz, tile_q=tile_q, interpret=interpret
+    )
+    return (idx, grouped), (idx, xyz.shape)
+
+
+def _bqg_bwd(radius, nsample, tile_q, interpret, res, cot):
+    del radius, nsample
+    idx, xyz_shape = res
+    _, dg = cot  # d_idx is int/zero
+    b, n, _ = xyz_shape
+    s, ns = idx.shape[1], idx.shape[2]
+    nblocks = n // _BLK
+    dg_cf = jnp.moveaxis(dg, -1, 1)  # (B, 3, S, NS)
+    tq = min(_auto_tile_q(n), s)
+    dp = pl.pallas_call(
+        _bqg_scatter_kernel,
+        grid=(b, s // tq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tq, ns), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, tq, ns), lambda bi, ti: (bi, 0, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, nblocks, _BLK), lambda bi, ti: (bi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 3, nblocks, _BLK), jnp.float32
+        ),
+        interpret=interpret,
+    )(idx, dg_cf)
+    d_xyz = jnp.swapaxes(dp.reshape(b, 3, n), 1, 2)  # (B, N, 3)
+    d_new_xyz = -jnp.sum(dg, axis=2)  # (B, S, 3) centering adjoint
+    return d_xyz, d_new_xyz
+
+
+ball_query_grouped.defvjp(_bqg_fwd, _bqg_bwd)
+
+
+def _sa_exact_scatter_kernel(idx_ref, dg_ref, out_ref, *,
+                             slot_chunk: int):
+    """Backward of the exact-path fused gather: scatter-add the grouped
+    cotangent onto the [coords | feats] table via transposed one-hot
+    matmuls (slot-chunked like the forward)."""
+    ti = pl.program_id(1)
+    idx = idx_ref[0]  # (TQ, NS)
+    tq, ns = idx.shape
+    n = out_ref.shape[1]
+
+    @pl.when(ti == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    dims = (((0,), (0,)), ((), ()))
+    for k in range(ns // slot_chunk):
+        jj = idx[:, k * slot_chunk : (k + 1) * slot_chunk]
+        oh2 = (
+            jj[:, :, None]
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (tq, slot_chunk, n), 2
+            )
+        ).astype(jnp.float32).reshape(tq * slot_chunk, n)
+        dgk = (
+            dg_ref[0][:, k * slot_chunk : (k + 1) * slot_chunk, :]
+            .reshape(tq * slot_chunk, out_ref.shape[2])
+        )
+        dg_hi = dgk.astype(jnp.bfloat16).astype(jnp.float32)
+        out_ref[0] += jax.lax.dot_general(
+            oh2, dg_hi, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            oh2, dgk - dg_hi, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5, 6, 7))
+def sa_grouped_exact(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,
+    feats: jax.Array,
+    new_xyz: jax.Array,
+    tile_q: int = 128,
+    slot_chunk: int = 16,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Differentiable :func:`sa_grouped_exact_pallas` (custom VJP: the
+    grouped cotangent scatter-adds onto ``xyz``/``feats`` via transposed
+    one-hot Pallas matmuls; centering adjoint flows to ``new_xyz``)."""
+    return sa_grouped_exact_pallas(
+        radius, nsample, xyz, feats, new_xyz, tile_q=tile_q,
+        slot_chunk=slot_chunk, interpret=interpret,
+    )
+
+
+def _sae_fwd(radius, nsample, xyz, feats, new_xyz, tile_q, slot_chunk,
+             interpret):
+    idx, grouped = sa_grouped_exact_pallas(
+        radius, nsample, xyz, feats, new_xyz, tile_q=tile_q,
+        slot_chunk=slot_chunk, interpret=interpret,
+    )
+    return (idx, grouped), (idx, xyz.shape, feats.shape)
+
+
+def _sae_bwd(radius, nsample, tile_q, slot_chunk, interpret, res, cot):
+    del radius, nsample
+    idx, xyz_shape, feats_shape = res
+    _, dg = cot  # (B, S, NS, 3+C)
+    b, n, _ = xyz_shape
+    c = feats_shape[-1]
+    s, ns = idx.shape[1], idx.shape[2]
+    tq = min(tile_q, s, 32)
+    dtab = pl.pallas_call(
+        functools.partial(_sa_exact_scatter_kernel, slot_chunk=slot_chunk),
+        grid=(b, s // tq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tq, ns), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tq, ns, 3 + c), lambda bi, ti: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, 3 + c), lambda bi, ti: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, 3 + c), jnp.float32),
+        interpret=interpret,
+    )(idx, dg)
+    d_xyz = dtab[:, :, :3]
+    d_feats = dtab[:, :, 3:]
+    d_new_xyz = -jnp.sum(dg[..., :3], axis=2)  # centering adjoint
+    return d_xyz, d_feats, d_new_xyz
+
+
+sa_grouped_exact.defvjp(_sae_fwd, _sae_bwd)

@@ -134,3 +134,67 @@ def test_sa_grouped_exact_matches_gather():
             )
             np.testing.assert_array_equal(np.sort(idx[b, s]),
                                           np.sort(want_sel))
+
+
+def test_ball_query_grouped_vjp_matches_xla_gather():
+    """grad through the fused grouped kernel == grad through
+    index_points(xyz, idx) - center with the kernel's own indices."""
+    from point2cyl_tpu.ops.grouping import index_points
+    from point2cyl_tpu.ops.pallas_ballquery import ball_query_grouped
+
+    B, N, S, NS = 2, 2048, 64, 32
+    pts = RNG.normal(size=(B, N, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    q = pts[:, :S].copy()
+    w = RNG.normal(size=(B, S, NS, 3)).astype(np.float32)
+    pts_j, q_j, w_j = map(jnp.asarray, (pts, q, w))
+
+    idx, _ = ball_query_grouped(0.4, NS, pts_j, q_j, 32, True)
+
+    def loss_pallas(xyz, ctr):
+        _, g = ball_query_grouped(0.4, NS, xyz, ctr, 32, True)
+        return jnp.sum(g * w_j)
+
+    def loss_xla(xyz, ctr):
+        g = index_points(xyz, idx) - ctr[:, :, None, :]
+        return jnp.sum(g * w_j)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(pts_j, q_j)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(pts_j, q_j)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4
+        )
+
+
+def test_sa_grouped_exact_vjp_matches_xla_gather():
+    from point2cyl_tpu.ops.grouping import index_points
+    from point2cyl_tpu.ops.pallas_ballquery import sa_grouped_exact
+
+    B, N, S, NS, C = 2, 512, 64, 32, 16
+    pts = RNG.normal(size=(B, N, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    feats = RNG.normal(size=(B, N, C)).astype(np.float32)
+    q = pts[:, :S].copy()
+    w = RNG.normal(size=(B, S, NS, 3 + C)).astype(np.float32)
+    pts_j, f_j, q_j, w_j = map(jnp.asarray, (pts, feats, q, w))
+
+    idx, _ = sa_grouped_exact(0.4, NS, pts_j, f_j, q_j, 32, 16, True)
+
+    def loss_pallas(xyz, f, ctr):
+        _, g = sa_grouped_exact(0.4, NS, xyz, f, ctr, 32, 16, True)
+        return jnp.sum(g * w_j)
+
+    def loss_xla(xyz, f, ctr):
+        g = jnp.concatenate(
+            [index_points(xyz, idx) - ctr[:, :, None, :],
+             index_points(f, idx)], axis=-1,
+        )
+        return jnp.sum(g * w_j)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(pts_j, f_j, q_j)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(pts_j, f_j, q_j)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4
+        )
