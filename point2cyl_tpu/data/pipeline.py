@@ -166,6 +166,21 @@ def _gather_batch(
     labels = sub_points(dev["extrusion_labels"])
     axes = take_rows(dev["extrusion_axes"])
     dists = take_rows(dev["extrusion_distances"])
+    # per-point lookups of instance attributes (dataloader.py:83-84) as
+    # one-hot matmuls: XLA's per-row gather costs ~8 ns/row, so two
+    # (B*N)-row take_along_axis calls were ~8 ms/step at B=64 while the
+    # equivalent (B,N,K)x(B,K,.) contraction is sub-ms.
+    onehot_l = jax.nn.one_hot(labels, axes.shape[1], dtype=axes.dtype)
+    per_point_axes = jnp.einsum(
+        "bnk,bkc->bnc", onehot_l, axes,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    per_point_distances = jnp.einsum(
+        "bnk,bk->bn", onehot_l, dists,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     out = {
         "point_cloud": sub_points(dev["point_cloud"]),
         "normals": sub_points(dev["normals"]),
@@ -173,11 +188,8 @@ def _gather_batch(
         "base_barrel_labels": sub_points(dev["base_barrel_labels"]),
         "extrusion_axes": axes,
         "extrusion_distances": dists,
-        # per-point gathers of instance attributes (dataloader.py:83-84)
-        "per_point_axes": jnp.take_along_axis(
-            axes, labels[..., None], axis=1
-        ),
-        "per_point_distances": jnp.take_along_axis(dists, labels, axis=1),
+        "per_point_axes": per_point_axes,
+        "per_point_distances": per_point_distances,
     }
     for key_name in ("extrusion_centers", "extrusion_extents"):
         if key_name in dev:

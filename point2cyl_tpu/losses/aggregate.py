@@ -99,15 +99,16 @@ def base_barrel_ce_loss(
     w_reordered = jnp.where(mask[:, None, :], w_reordered, 0.0)
     w_reordered = jax.nn.softmax(w_reordered, axis=-1)
 
-    label = jnp.argsort(w_reordered, axis=-1)  # ascending
-    w_sorted = jnp.take_along_axis(w_reordered, label, axis=-1)
-
-    barrel_conf = jnp.take_along_axis(w_barrel_raw, label, axis=-1)
-    base_conf = jnp.take_along_axis(w_base_raw, label, axis=-1)
-    logits = jnp.stack([barrel_conf, base_conf], axis=-1)  # (B, N, K, 2)
-
+    # The reference sorts W_reordered and gathers the raw heads with the
+    # sort indices (train_Point2Cyl_without_sketch.py:292-305), but the
+    # final reduction sum_pos CE(heads[label[pos]]) * W_sorted[pos] pairs
+    # each position's CE and weight through the SAME index, so it equals
+    # sum_j CE(heads[j]) * W_reordered[j]: the sort is a mathematical
+    # no-op and is dropped here (it cost an argsort + three per-row
+    # gathers over (B*N, K) rows, ~hundreds of ms at B=64 on TPU).
+    logits = jnp.stack([w_barrel_raw, w_base_raw], axis=-1)  # (B, N, K, 2)
     logp = jax.nn.log_softmax(logits, axis=-1)
     gt = gt_bb_labels[:, :, None]  # broadcast over K
-    ce = -jnp.take_along_axis(logp, gt[..., None], axis=-1)[..., 0]
-    weighted = jnp.sum(ce * w_sorted, axis=-1)  # (B, N)
+    ce = -jnp.where(gt == 0, logp[..., 0], logp[..., 1])  # (B, N, K)
+    weighted = jnp.sum(ce * w_reordered, axis=-1)  # (B, N)
     return jnp.mean(weighted)

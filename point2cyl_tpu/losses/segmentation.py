@@ -11,11 +11,24 @@ def reorder_w(w: jax.Array, matching: jax.Array) -> jax.Array:
 
     Args: w (B, N, K); matching (B, K). Returns (B, N, K) with column k' =
     predicted column matching[b, k'] (``losses.py:95``).
+
+    Realized as a one-hot permutation matmul instead of take_along_axis:
+    the XLA per-row gather over (B*N, K) rows cost ~44 ms forward and
+    ~86 ms backward at B=64/N=8192 (~130x the matmul's cost) — the same
+    ~8 ns/row pathology the Pallas grouping kernels exist to avoid.
     """
-    b, n, k = w.shape
-    return jnp.take_along_axis(
-        w, jnp.broadcast_to(matching[:, None, :], (b, n, k)), axis=2
-    )
+    k = w.shape[-1]
+    perm = (
+        matching[:, None, :]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1)
+    ).astype(w.dtype)  # (B, K_src, K_dst) one-hot columns
+    return jnp.einsum(
+        "bnj,bjk->bnk",
+        w,
+        perm,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
 
 
 def compute_miou_loss(
