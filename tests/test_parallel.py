@@ -255,3 +255,44 @@ def test_multihost_two_process_cpu():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
         assert "MH_OK" in out
+
+
+def test_multihost_two_process_trainer():
+    """End-to-end trainer A across two processes: global 4-device mesh,
+    per-process batch slices, two epochs on tiny synthetic data."""
+    import subprocess
+    import sys
+    import textwrap
+
+    worker = textwrap.dedent(
+        """
+        import sys, os
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid = int(sys.argv[1])
+        from point2cyl_tpu.parallel.distributed import initialize
+        initialize("localhost:12401", 2, pid)
+        from point2cyl_tpu.core.config import TrainConfig
+        from point2cyl_tpu.train.train_pc import train
+        cfg = TrainConfig(batch_size=8, num_epochs=2,
+                          logdir=f"/tmp/mh_t_p{pid}",
+                          seed=0)
+        state = train(cfg, num_points=128, k=4, synthetic=8,
+                      synthetic_resolution=256)
+        print("MH_TRAIN_OK", pid, int(state.step))
+        """
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=480)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+        assert "MH_TRAIN_OK" in out
