@@ -32,13 +32,25 @@ def eigenvalues_sym3x3(a: jax.Array) -> jax.Array:
         a[..., 0, 1] ** 2 + a[..., 0, 2] ** 2 + a[..., 1, 2] ** 2
     )
     p2 = jnp.sum((diag - q[..., None]) ** 2, axis=-1) + 2.0 * off2
-    p = jnp.sqrt(jnp.maximum(p2, 0.0) / 6.0)
-    safe_p = jnp.where(p > 0.0, p, 1.0)
-    b = (a - q[..., None, None] * jnp.eye(3, dtype=a.dtype)) / safe_p[
+    # Gradient hardening. The closed form has three blowup points that
+    # all activate exactly when eigenvalues (nearly) coincide — which a
+    # CONVERGED segmentation produces routinely (e.g. a clean planar
+    # base: all normals equal -> rank-1 covariance): d/dp2 sqrt(p2) -> inf
+    # at 0, the /p division, and d/dr arccos(r) -> inf at |r|=1. Inputs
+    # are clamped BEFORE the risky ops (the both-branches-compute
+    # semantics of jnp.where would propagate NaN through the unselected
+    # branch otherwise); in the clamped regime the eigensystem is
+    # degenerate and any direction is valid, so the ~1e-7-scale forward
+    # perturbation is immaterial while every gradient stays bounded.
+    # The reference's torch.symeig backward divides by eigenvalue gaps
+    # and simply NaNs there instead (data_utils.py:170).
+    p2_safe = jnp.maximum(p2, 1e-14)
+    p = jnp.sqrt(p2_safe / 6.0)
+    b = (a - q[..., None, None] * jnp.eye(3, dtype=a.dtype)) / p[
         ..., None, None
     ]
     det_b = jnp.linalg.det(b)
-    r = jnp.clip(det_b / 2.0, -1.0, 1.0)
+    r = jnp.clip(det_b / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
     phi = jnp.arccos(r) / 3.0
     lam_max = q + 2.0 * p * jnp.cos(phi)
     lam_min = q + 2.0 * p * jnp.cos(phi + _TWO_PI_OVER_3)
@@ -80,6 +92,8 @@ def smallest_eigenvector_sym3x3(
     best = jnp.argmax(norms2, axis=-1)
     v = jnp.take_along_axis(m, best[..., None, None], axis=-1)[..., 0]
     n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    # rsqrt of the clamped norm keeps the normalization gradient bounded
+    # in the degenerate (m -> 0) regime where the fallback is selected
     v_unit = v * jax.lax.rsqrt(jnp.maximum(n2, eps))
     # Degenerate fallback: smallest eigenvalue (nearly) repeated -> any
     # nullspace direction is valid; use a fixed unit z.

@@ -131,3 +131,41 @@ def test_estimate_axis_normalized_variant_runs():
     )
     assert got.shape == (b, k, 3)
     np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-4)
+
+
+def test_eigensolver_gradients_finite_at_degeneracy():
+    """Gradients stay finite for the degenerate covariances a CONVERGED
+    segmentation produces (rank-1, isotropic, repeated eigenvalues, zero)
+    — the closed form's sqrt/arccos/division blowup points are clamped
+    (the reference's torch.symeig backward NaNs there instead)."""
+    from point2cyl_tpu.ops.linalg import smallest_eigenvector_sym3x3
+
+    z = np.array([0.0, 0.0, 1.0])
+    cases = np.stack([
+        np.outer(z, z),                  # rank-1 (planar base: equal normals)
+        np.eye(3),                       # isotropic: all eigenvalues equal
+        np.diag([1.0, 1.0, 2.0]),        # repeated smallest pair
+        np.zeros((3, 3)),                # exactly zero matrix
+        np.diag([1e-9, 1e-9, 1e-9]),     # tiny isotropic
+        np.diag([1.0, 1.0 + 1e-8, 2.0]),  # near-degenerate gap
+    ]).astype(np.float32)
+
+    def loss(a):
+        v = smallest_eigenvector_sym3x3(a)
+        return jnp.sum(v * jnp.array([0.3, -0.5, 0.7]))
+
+    for i in range(cases.shape[0]):
+        g = jax.grad(loss)(jnp.asarray(cases[i]))
+        assert np.isfinite(np.asarray(g)).all(), (i, np.asarray(g))
+
+    # non-degenerate correctness unchanged: grad finite AND eigenvector
+    # still matches numpy on a generic matrix
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(3, 3)).astype(np.float32)
+    m = m @ m.T + np.diag([0.1, 1.0, 2.0]).astype(np.float32)
+    v = np.asarray(smallest_eigenvector_sym3x3(jnp.asarray(m)))
+    wv, ev = np.linalg.eigh(m)
+    want = ev[:, 0]
+    assert min(np.abs(v - want).max(), np.abs(v + want).max()) < 1e-4
+    g = jax.grad(loss)(jnp.asarray(m))
+    assert np.isfinite(np.asarray(g)).all()
