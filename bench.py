@@ -109,6 +109,46 @@ def train_throughput(n_points: int, batch: int, steps_n: int = 20) -> float:
     return batch * steps_n / (time.perf_counter() - t0)
 
 
+def joint_step_seconds(steps_n: int = 10) -> float:
+    """Joint (implicit-sketch) optimizer-step time at full reference
+    shapes: N=8192, S_sk=2048, K=8, B=4, backbone + encoder + IGR
+    grad-of-grad (``train_Point2Cyl.py:405-713`` scope)."""
+    from point2cyl_tpu.core.config import TrainConfig
+    from point2cyl_tpu.data.pipeline import InputPipeline
+    from point2cyl_tpu.data.synthetic import generate_dataset
+    from point2cyl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from point2cyl_tpu.train import train_joint as TJ
+
+    cfg = TrainConfig(batch_size=4)
+    n, sk, k, b = 8192, 2048, 8, 4
+    ds = generate_dataset(
+        8, resolution=n, max_instances=k, num_sketch_points=4096, seed=0
+    )
+    pipe = InputPipeline(ds, n, k, num_sketch_points=sk)
+    nets = TJ.build_nets(cfg, n, k, False, False)
+    backbone, implicit, encoder, loaded_encoder = nets
+    tx = TJ.make_joint_optimizer(cfg, True, True)
+    key = jax.random.key(0)
+    state = TJ.init_joint_state(
+        backbone, implicit, encoder, loaded_encoder, tx, key, n, sk
+    )
+    mesh = make_mesh(1)
+    state = replicate(mesh, state)
+    step = TJ.make_joint_train_step(
+        backbone, implicit, encoder, loaded_encoder, cfg, tx, sk,
+        is_pc_train=True, is_im_train=True, with_im_loss=True,
+        is_l2=False, use_gt_im=False,
+    )
+    batch = shard_batch(mesh, pipe.batch(np.arange(b), key))
+    state, aux = step(state, batch, key)
+    float(aux["total"])
+    t0 = time.perf_counter()
+    for i in range(steps_n):
+        state, aux = step(state, batch, jax.random.fold_in(key, i))
+    float(aux["total"])
+    return (time.perf_counter() - t0) / steps_n
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
@@ -161,6 +201,17 @@ def main() -> None:
                     }
                 )
             )
+        s = joint_step_seconds()
+        print(
+            json.dumps(
+                {
+                    "metric": "joint_train_step_reference_shapes",
+                    "value": round(s, 4),
+                    "unit": "sec/step",
+                    "vs_baseline": round(0.45 / s, 2),  # round-1 step time
+                }
+            )
+        )
 
 
 if __name__ == "__main__":
