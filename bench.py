@@ -158,23 +158,41 @@ def main() -> None:
         help="also report N=16384/32768 streaming-path throughput",
     )
     ap.add_argument(
-        "--train", action="store_true",
-        help="also report trainer-A step throughput at B=64 and the "
-        "reference B=4",
+        "--no-train", action="store_true",
+        help="skip the trainer-A / joint-step lines (quick runs); by "
+        "default they are emitted so the driver-captured artifact "
+        "records training throughput too",
     )
     args = ap.parse_args()
 
-    cps = throughput(args.n, args.batch)
-    print(
-        json.dumps(
-            {
-                "metric": f"inference_throughput_n{args.n}",
-                "value": round(cps, 2),
-                "unit": "clouds/sec/chip",
-                "vs_baseline": round(cps / TARGET, 4),
-            }
+    # Training lines first; the INFERENCE line prints LAST so the
+    # driver's parsed headline metric stays clouds/sec inference.
+    if not args.no_train:
+        for b in (64, 4):
+            cps = train_throughput(args.n, b)
+            print(
+                json.dumps(
+                    {
+                        "metric": f"train_throughput_b{b}_n{args.n}",
+                        "value": round(cps, 2),
+                        "unit": "clouds/sec/chip",
+                        "vs_baseline": round(cps / TARGET, 4),
+                    }
+                ),
+                flush=True,
+            )
+        s = joint_step_seconds()
+        print(
+            json.dumps(
+                {
+                    "metric": "joint_train_step_reference_shapes",
+                    "value": round(s, 4),
+                    "unit": "sec/step",
+                    "vs_baseline": round(0.45 / s, 2),  # round-1 step time
+                }
+            ),
+            flush=True,
         )
-    )
     if args.sweep:
         for n, b in ((16384, 16), (32768, 8)):
             cps = throughput(n, b, iters=5)
@@ -186,32 +204,21 @@ def main() -> None:
                         "unit": "clouds/sec/chip",
                         "vs_baseline": round(cps / TARGET, 4),
                     }
-                )
+                ),
+                flush=True,
             )
-    if args.train:
-        for b in (64, 4):
-            cps = train_throughput(args.n, b)
-            print(
-                json.dumps(
-                    {
-                        "metric": f"train_throughput_b{b}_n{args.n}",
-                        "value": round(cps, 2),
-                        "unit": "clouds/sec/chip",
-                        "vs_baseline": round(cps / TARGET, 4),
-                    }
-                )
-            )
-        s = joint_step_seconds()
-        print(
-            json.dumps(
-                {
-                    "metric": "joint_train_step_reference_shapes",
-                    "value": round(s, 4),
-                    "unit": "sec/step",
-                    "vs_baseline": round(0.45 / s, 2),  # round-1 step time
-                }
-            )
-        )
+    cps = throughput(args.n, args.batch)
+    print(
+        json.dumps(
+            {
+                "metric": f"inference_throughput_n{args.n}",
+                "value": round(cps, 2),
+                "unit": "clouds/sec/chip",
+                "vs_baseline": round(cps / TARGET, 4),
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

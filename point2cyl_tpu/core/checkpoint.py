@@ -27,6 +27,13 @@ class CheckpointManager:
         return os.path.join(self.logdir, name)
 
     def save(self, name: str, state: Any) -> None:
+        # Multi-host discipline: EVERY process must call this (orbax
+        # synchronizes all processes internally and writes each array
+        # once, from the primary — a shared logdir sees a single
+        # ocdbt.process_0 writer, verified by
+        # tests/test_parallel.py::test_multihost_shared_logdir_resume).
+        # Gating on process_index here would deadlock orbax's internal
+        # sync_global_processes barriers.
         self._ckptr.save(self._path(name), state, force=True)
         self._ckptr.wait_until_finished()
 
@@ -56,7 +63,10 @@ class CheckpointManager:
         return best_loss
 
     def save_meta(self, meta: dict) -> None:
-        """Sidecar resume metadata (epoch counter, best loss)."""
+        """Sidecar resume metadata (epoch counter, best loss); written by
+        process 0 only (see :meth:`save`)."""
+        if jax.process_index() != 0:
+            return
         with open(os.path.join(self.logdir, "meta.json"), "w") as f:
             json.dump(meta, f)
 

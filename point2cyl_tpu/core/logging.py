@@ -13,12 +13,22 @@ from typing import Optional
 
 class TrainLogger:
     def __init__(self, logdir: str, use_tensorboard: bool = True):
+        # In multi-host runs with a shared logdir only process 0 writes
+        # log.txt / tensorboard (scalars are replicated across hosts);
+        # other processes still print to their own stdout.
+        import jax
+
+        self._primary = jax.process_index() == 0
         os.makedirs(logdir, exist_ok=True)
         self.logdir = logdir
-        self._fout = open(os.path.join(logdir, "log.txt"), "a")
+        self._fout = (
+            open(os.path.join(logdir, "log.txt"), "a")
+            if self._primary
+            else None
+        )
         self.scalars = defaultdict(list)
         self._tb = None
-        if use_tensorboard:
+        if use_tensorboard and self._primary:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -27,8 +37,9 @@ class TrainLogger:
                 self._tb = None
 
     def log(self, msg: str) -> None:
-        self._fout.write(msg + "\n")
-        self._fout.flush()
+        if self._fout is not None:
+            self._fout.write(msg + "\n")
+            self._fout.flush()
         print(msg, flush=True)
 
     def scalar(self, tag: str, value: float, step: int) -> None:
@@ -42,6 +53,7 @@ class TrainLogger:
         return means
 
     def close(self) -> None:
-        self._fout.close()
+        if self._fout is not None:
+            self._fout.close()
         if self._tb is not None:
             self._tb.flush()

@@ -86,9 +86,22 @@ class InputPipeline:
             )
         )
 
-    def batch(self, rows: np.ndarray, key: jax.Array) -> dict:
-        """Assemble one device batch for the given dataset rows."""
-        return self._gather(self._dev, jnp.asarray(rows, jnp.int32), key)
+    def batch(
+        self, rows: np.ndarray, key: jax.Array, row_offset: int = 0
+    ) -> dict:
+        """Assemble one device batch for the given dataset rows.
+
+        ``row_offset`` is this slice's starting position within the
+        GLOBAL batch: per-sample subsample keys are folded from global
+        batch position, so multi-host processes draw decorrelated
+        permutations and a multi-host run is RNG-equivalent to a
+        single-host run over the same global batch."""
+        return self._gather(
+            self._dev,
+            jnp.asarray(rows, jnp.int32),
+            key,
+            jnp.asarray(row_offset, jnp.int32),
+        )
 
     def epochs(
         self,
@@ -119,10 +132,12 @@ class InputPipeline:
         nb = self.num_samples // batch_size
         for i in range(nb):
             rows = order[i * batch_size : (i + 1) * batch_size]
+            offset = 0
             if rows_slice is not None:
+                offset = rows_slice.start or 0
                 rows = rows[rows_slice]
             key, sub = jax.random.split(key)
-            yield self.batch(rows, sub)
+            yield self.batch(rows, sub, offset)
 
 
 def _pad_k(arr: np.ndarray, k: int) -> np.ndarray:
@@ -141,15 +156,23 @@ def _pad_k(arr: np.ndarray, k: int) -> np.ndarray:
 
 
 def _gather_batch(
-    dev: dict, rows: jax.Array, key: jax.Array, *, num_points: int,
+    dev: dict, rows: jax.Array, key: jax.Array,
+    row_offset: jax.Array | int = 0, *, num_points: int,
     num_sketch_points: int,
 ) -> dict:
     """Jitted batch assembly: row gather + per-sample random subsample +
-    per-point label gathers (``dataloader.py:69-87``)."""
+    per-point label gathers (``dataloader.py:69-87``).
+
+    Per-sample keys are folded from GLOBAL batch position
+    (``row_offset + i``), not local position — with a shared batch key,
+    multi-host processes would otherwise draw the identical permutation
+    for the sample at the same local slot every step."""
     b = rows.shape[0]
     resolution = dev["point_cloud"].shape[1]
     k_pt, k_sk = jax.random.split(key)
-    sub_keys = jax.random.split(k_pt, b)
+    pos = jnp.asarray(row_offset, jnp.int32) + jnp.arange(b, dtype=jnp.int32)
+    fold = jax.vmap(jax.random.fold_in, in_axes=(None, 0))
+    sub_keys = fold(k_pt, pos)
     sub_idx = jax.vmap(
         lambda kk: jax.random.permutation(kk, resolution)[:num_points]
     )(sub_keys)
@@ -201,8 +224,9 @@ def _gather_batch(
         ssk = sk.shape[2]
         # per-ITEM permutation (the reference draws a fresh randperm per
         # sample, dataloader.py:213-216; one shared permutation would
-        # correlate the whole batch each epoch)
-        sk_keys = jax.random.split(k_sk, b)
+        # correlate the whole batch each epoch), keyed by global batch
+        # position for multi-host decorrelation
+        sk_keys = fold(k_sk, pos)
         sk_idx = jax.vmap(
             lambda kk: jax.random.permutation(kk, ssk)[:num_sketch_points]
         )(sk_keys)

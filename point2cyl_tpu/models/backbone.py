@@ -69,7 +69,9 @@ class SetAbstraction(nn.Module):
         use_pallas_bq = self.ballquery_impl == "pallas" or (
             self.ballquery_impl == "auto"
             and jax.default_backend() != "cpu"
-            and ball_query_shapes_supported(xyz.shape[1], self.npoint)
+            and ball_query_shapes_supported(
+                xyz.shape[1], self.npoint, self.nsample
+            )
         )
         if use_pallas_bq:
             from point2cyl_tpu.ops.grouping import index_points

@@ -430,15 +430,28 @@ def sa_grouped_exact_pallas(
     return idx, grouped
 
 
-def ball_query_shapes_supported(n: int, s: int) -> bool:
-    """True when the kernel's shape constraints hold (used by the
-    backbone's "auto" backend selection)."""
+def ball_query_shapes_supported(
+    n: int, s: int, nsample: int | None = None
+) -> bool:
+    """True when the constraints of the kernels the backbone's "auto"
+    dispatch would actually pick all hold — mirrors the trace-time
+    ValueError checks so "auto" falls back to XLA instead of raising
+    (e.g. nsample=24 breaks the exact path's slot_chunk=16, s=48 breaks
+    its tile_q=32)."""
     if n > _EXACT_N_MAX:
         if n % _BLK != 0:
             return False
     elif n % 8 != 0:
         return False
-    return s % min(s, 64) == 0
+    # Query tile of the idx / blocked-grouped kernels must divide S.
+    if s % min(s, _auto_tile_q(n)) != 0:
+        return False
+    if nsample is not None and n <= _EXACT_N_MAX:
+        # sa_grouped_exact (the small-N + feats path): slot_chunk=16
+        # must divide nsample and the backbone's tile_q=32 must divide S.
+        if nsample % 16 != 0 or s % min(s, 32) != 0:
+            return False
+    return True
 
 
 def _auto_tile_q(n: int) -> int:
@@ -654,7 +667,13 @@ def _bqg_bwd(radius, nsample, tile_q, interpret, res, cot):
     s, ns = idx.shape[1], idx.shape[2]
     nblocks = n // _BLK
     dg_cf = jnp.moveaxis(dg, -1, 1)  # (B, 3, S, NS)
-    tq = min(_auto_tile_q(n), s)
+    # Resolve the tile exactly as the forward did (same formula on the
+    # same nondiff args) — an independent recomputation could pick a
+    # tile that does not divide S and silently drop query rows from the
+    # gradient when the caller passed an explicit tile_q.
+    tq = min(tile_q or _auto_tile_q(n), s)
+    if s % tq != 0:
+        raise ValueError(f"S={s} must be divisible by tile_q={tq}")
     dp = pl.pallas_call(
         _bqg_scatter_kernel,
         grid=(b, s // tq),
@@ -758,7 +777,12 @@ def _sae_bwd(radius, nsample, tile_q, slot_chunk, interpret, res, cot):
     b, n, _ = xyz_shape
     c = feats_shape[-1]
     s, ns = idx.shape[1], idx.shape[2]
-    tq = min(tile_q, s, 32)
+    # The scatter kernel wants a smaller tile than the forward (its
+    # (TQ*slot_chunk, N) one-hot temp scales with TQ), but the tile must
+    # still divide S or grid = S // TQ silently drops query rows from
+    # the gradient. Pick the largest divisor of S within the VMEM cap.
+    cap = min(tile_q, s, 32)
+    tq = max(d for d in range(1, cap + 1) if s % d == 0)
     dtab = pl.pallas_call(
         functools.partial(_sa_exact_scatter_kernel, slot_chunk=slot_chunk),
         grid=(b, s // tq),

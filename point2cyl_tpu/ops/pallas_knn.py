@@ -20,13 +20,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dot_high(a, b, dims):
+def _dot_high(a, b, dims, full: bool = False):
     """~Precision.HIGH f32 matmul as three DEFAULT (bf16) passes.
 
     Mosaic supports only DEFAULT (1 bf16 pass, ~8 mantissa bits) and
     HIGHEST (6 passes). Splitting both operands hi/lo and dropping the
     lo*lo term recovers ~17 mantissa bits at half the HIGHEST cost —
     plenty for interpolated features (abs error ~1e-5).
+
+    ``full=True`` keeps the lo*lo term (4 passes), giving the exact
+    product up to f32 accumulation rounding (~1e-7). Required where the
+    result feeds a squared-distance cancellation: dropping lo*lo biases
+    ``|q|^2 + |p|^2 - 2 q.p`` by ``+2 q_lo.p_lo`` (~1e-5), which at a
+    coincident pair q == p swamps eps=1e-8 and demotes the self-weight
+    from ~1.0 to a data-dependent 0.5-0.9.
     """
     a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
     a_lo = a - a_hi
@@ -36,36 +43,54 @@ def _dot_high(a, b, dims):
         jax.lax.dot_general, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     )
-    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+    out = dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+    if full:
+        out = out + dot(a_lo, b_lo)
+    return out
 
 
 def _knn3_weights(q, p, eps):
     """Normalized 3-NN inverse-distance weight tile (T, S).
 
     Selection via min + threshold-compare instead of argmin + iota-onehot
-    (fewer VPU passes; no column iota). Exactly-tied distances share
-    their slot with averaged weight — function-equivalent to picking one
-    arbitrarily, since tied points contribute identical w_k."""
+    (fewer VPU passes). Exact distance ties are broken toward the lowest
+    source index — one point consumed per iteration, each with full
+    weight — matching the reference's sequential argmin
+    (``pointnet_util.py:298-303``)."""
     t = q.shape[0]
-    # ~HIGH-precision cross term (hi/lo split): ~1e-5 abs distance error,
-    # far below neighbor-gap scale — selection is already licensed to be
-    # approximate (the XLA path uses approx_max_k) and the 1/(d+eps)
-    # weights tolerate 1e-5 easily. Half the HIGHEST matmul cost.
-    cross = _dot_high(q, p, (((1,), (1,)), ((), ())))  # (T, S)
-    d = (
-        jnp.sum(q * q, axis=1, keepdims=True)
-        + jnp.sum(p * p, axis=1)[None, :]
-        - 2.0 * cross
-    )
+    # The squared-distance cancellation needs the cross term at full f32:
+    # any bias b in q.p at a coincident pair q == p leaves d ~ 2b, which
+    # swamps eps=1e-8 and demotes the self-weight that dominates FP
+    # interpolation (src is a subset of dst) from ~1.0 to 0.5-0.9. Even
+    # a 4-pass hi/lo split leaves ~1e-4 (the lo operands themselves round
+    # to bf16); HIGHEST (6 passes) reaches ~1e-6, and the contraction dim
+    # is 3 so the extra passes are ~free next to the (T, S) output writes.
+    sq_q = jnp.sum(q * q, axis=1, keepdims=True)  # (T, 1)
+    sq_p = jnp.sum(p * p, axis=1)[None, :]  # (1, S)
+    cross = jax.lax.dot_general(
+        q, p, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (T, S)
+    d = sq_q + sq_p - 2.0 * cross
+    # Snap the residual ~1e-6-scale rounding to exactly 0 at coincident
+    # pairs (relative tolerance; genuine nearest-neighbor d^2 at mesh
+    # sampling density is >= ~1e-4) so the self-weight is exactly 1/eps
+    # as in the reference.
+    d = jnp.where(d <= 1e-5 * (sq_q + sq_p), 0.0, d)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     weights = jnp.zeros_like(d)
     wsum = jnp.zeros((t, 1), jnp.float32)
     dcur = d
     for _ in range(3):
         dk = jnp.min(dcur, axis=1, keepdims=True)  # (T, 1)
-        oh = (dcur <= dk).astype(jnp.float32)  # one-hot up to exact ties
-        cnt = jnp.sum(oh, axis=1, keepdims=True)
+        tied = dcur <= dk
+        first = jnp.min(
+            jnp.where(tied, col, jnp.int32(2**30)), axis=1, keepdims=True
+        )
+        oh = (tied & (col == first)).astype(jnp.float32)  # exact one-hot
         wk = 1.0 / (dk + eps)
-        weights = weights + oh * (wk / cnt)
+        weights = weights + oh * wk
         wsum = wsum + wk
         dcur = dcur + oh * jnp.float32(1e30)
     return weights / wsum

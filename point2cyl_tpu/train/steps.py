@@ -232,9 +232,28 @@ def make_train_step(model, cfg: TrainConfig, tx: optax.GradientTransformation):
             opt_state=new_opt,
             step=state.step + 1,
         )
+        new_state, skipped = guard_finite(loss, grads, state, new_state)
+        aux["skipped"] = skipped
         return new_state, aux
 
     return train_step
+
+
+def guard_finite(
+    loss: jax.Array, grads: Any, state: Any, new_state: Any
+) -> tuple[Any, jax.Array]:
+    """Non-finite-step guard: when the loss or any gradient is NaN/Inf,
+    keep the ENTIRE previous state (params, BN stats, optimizer moments,
+    step) so a transient corruption — e.g. the shared-TPU-chip NaN a
+    300-epoch run hit (NOTES.md) — cannot poison training. Returns
+    (selected_state, skipped_flag)."""
+    finite = jnp.isfinite(loss)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        finite &= jnp.all(jnp.isfinite(leaf))
+    sel = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(finite, new, old), new_state, state
+    )
+    return sel, 1.0 - finite.astype(jnp.float32)
 
 
 def init_state(

@@ -257,6 +257,8 @@ def make_joint_train_step(
             opt_state=new_opt,
             step=state.step + 1,
         )
+        new_state, skipped = steps.guard_finite(loss, grads, state, new_state)
+        aux["skipped"] = skipped
         return new_state, aux
 
     return train_step
@@ -611,10 +613,17 @@ def cli_main() -> None:
                         f"{n}: {float(v):.4f}" for n, v in sorted(a.items())
                     )
                 )
+        skipped = 0
         for j, a in enumerate(jax.device_get(aux_buf)):
             gstep = (epoch - 1) * steps_per_epoch + j
+            skipped += int(a.pop("skipped", 0))
             for tag, val in a.items():
                 logger.scalar(f"Loss/{tag}", float(val), gstep)
+        if skipped:
+            logger.log(
+                f"! Epoch {epoch:04d}: {skipped}/{steps_per_epoch} "
+                "non-finite steps skipped (state kept)"
+            )
         means = logger.epoch_means()
         logger.log(
             f"> Epoch {epoch:04d} done in {time.time()-t0:.1f}s"

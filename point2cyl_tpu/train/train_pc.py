@@ -154,10 +154,27 @@ def train(
                         float(a["extrusion"]), float(a["center"]),
                     )
                 )
+        skipped = 0
         for j, a in enumerate(jax.device_get(aux_buf)):
             gstep = epoch * steps_per_epoch + j
+            skipped += int(a.pop("skipped", 0))
             for tag, val in a.items():
                 logger.scalar(f"Loss/{tag}", float(val), gstep)
+        if skipped:
+            # the in-graph guard already kept the pre-step state on every
+            # non-finite step (steps.guard_finite); log, and if the whole
+            # epoch was corrupt (persistent chip fault, not a transient),
+            # roll back to the last on-disk checkpoint as a backstop
+            logger.log(
+                f"! Epoch {epoch:04d}: {skipped}/{steps_per_epoch} "
+                "non-finite steps skipped (state kept)"
+            )
+            if skipped >= steps_per_epoch and ckpt.exists("model"):
+                restored = ckpt.restore("model", host_state(state))
+                state = replicate(mesh, restored)
+                logger.log(
+                    "! Entire epoch non-finite: restored last checkpoint"
+                )
         means = logger.epoch_means()
         logger.log(
             f"> Epoch {epoch:04d} done in {time.time() - t0:.1f}s | "

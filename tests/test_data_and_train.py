@@ -143,3 +143,36 @@ def test_train_step_runs_with_heads_disabled():
     assert float(aux["extrusion"]) == 0.0
     assert float(aux["center"]) == 0.0
     assert np.isfinite(float(aux["total"]))
+
+
+def test_train_step_nonfinite_guard():
+    """A NaN-poisoned batch must leave the ENTIRE state untouched (params,
+    BN stats, optimizer moments, step) and set aux["skipped"]=1; training
+    then continues normally (steps.guard_finite — insurance against the
+    transient shared-chip NaN a 300-epoch run hit, NOTES.md)."""
+    cfg = small_cfg()
+    ds = generate_dataset(**SMALL)
+    pipe = InputPipeline(ds, num_points=128, max_instances=4)
+    model = build_model(cfg, 128, 4)
+    tx = steps.make_optimizer(cfg)
+    state = steps.init_state(model, cfg, tx, jax.random.key(0), 128)
+    train_step = steps.make_train_step(model, cfg, tx)
+    batch = next(pipe.epochs(2, jax.random.key(2)))
+
+    state, aux = train_step(state, batch, jax.random.key(3))
+    assert float(aux["skipped"]) == 0.0
+    before = jax.device_get(state)
+
+    bad = dict(batch)
+    bad["point_cloud"] = batch["point_cloud"].at[0, 0, 0].set(jnp.nan)
+    state, aux = train_step(state, bad, jax.random.key(4))
+    assert float(aux["skipped"]) == 1.0
+    after = jax.device_get(state)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(after.step) == int(before.step)
+
+    state, aux = train_step(state, batch, jax.random.key(5))
+    assert float(aux["skipped"]) == 0.0
+    assert np.isfinite(float(aux["total"]))
+    assert int(jax.device_get(state).step) == int(before.step) + 1
