@@ -35,6 +35,7 @@ def igr_losses(
     mask_gt: jax.Array,
     eikonal_weight: float = 0.1,
     normals_weight: float = 1.0,
+    off_pts: jax.Array | None = None,
 ) -> IGRLosses:
     """Implicit-surface fitting losses over per-instance sketches.
 
@@ -44,6 +45,9 @@ def igr_losses(
       sk_normals: (B, K, S, 2) sketch normals.
       latents: (B, K, L).
       mask_gt: (B, K) bool instance-validity mask.
+      off_pts: optional precomputed off-surface samples (B*K, S', 2);
+        when None they are drawn from ``key`` (parity tests inject the
+        reference sampler's points here to share randomness).
 
     Returns scalar losses: total = manifold + w_e * eikonal + w_n * SALD
     (``train_Point2Cyl.py:630-648``).
@@ -52,7 +56,8 @@ def igr_losses(
     pts = sk_pts.reshape(b * k, s, 2)
     lat = latents.reshape(b * k, -1)
     normals = sk_normals.reshape(b * k, s, 2)
-    off_pts = sample_off_surface(key, pts)
+    if off_pts is None:
+        off_pts = sample_off_surface(key, pts)
 
     def sdf_sum(p, l):
         return jnp.sum(sdf_fn(add_latent(p, l)))

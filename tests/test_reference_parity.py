@@ -594,3 +594,177 @@ def test_add_noise_statistics(cloud):
     s_ref = np.einsum("bnd,bnd->bn", d_ref, cloud["normals"])
     assert abs(s_mine.std() - s_ref.std()) < 0.005
     assert abs(s_mine.mean() - s_ref.mean()) < 0.005
+
+
+# ---------------------------------------------------------------------------
+# Composite one-step loss parity: the trainers' inline loss blocks composed
+# into ONE scalar, A/B'd with identical raw head outputs and batch
+# (VERDICT.md round-2 missing #2; train_Point2Cyl_without_sketch.py:244-353,
+# train_Point2Cyl.py:608-672). Feeding both stacks the SAME X_raw/W_raw
+# isolates loss-stack parity from the backbone's own ~2e-3 forward diffs.
+# ---------------------------------------------------------------------------
+
+
+def _composite_inputs(cloud):
+    rng = np.random.default_rng(31)
+    x_raw = rng.standard_normal((B, N, 3)).astype(np.float32)
+    w_raw = (2.0 * rng.standard_normal((B, N, 2 * K))).astype(np.float32)
+    batch = {
+        "point_cloud": jnp.array(cloud["points"]),
+        "normals": jnp.array(cloud["normals"]),
+        "extrusion_labels": jnp.array(cloud["seg"].astype(np.int32)),
+        "base_barrel_labels": jnp.array(cloud["bb"].astype(np.int32)),
+        "extrusion_axes": jnp.array(cloud["axes"]),
+        "extrusion_centers": jnp.array(cloud["centers"]),
+    }
+    return x_raw, w_raw, batch
+
+
+def _composite_cfg():
+    from point2cyl_tpu.core.config import TrainConfig
+
+    return TrainConfig(
+        pred_seg=True, pred_normal=True, pred_bb=True,
+        pred_extrusion=True, pred_center=True,
+    )
+
+
+def _torch_composite(cloud, x_raw, w_raw, requires_grad=False):
+    from tests.reference_trainer import reference_proxy_losses
+
+    xt = _t(x_raw).requires_grad_(requires_grad)
+    wt = _t(w_raw).requires_grad_(requires_grad)
+    out = reference_proxy_losses(
+        xt, wt, _t(cloud["points"]), _t(cloud["normals"]),
+        _t(cloud["seg"]), _t(cloud["bb"]), _t(cloud["axes"]),
+        _t(cloud["centers"]),
+    )
+    return xt, wt, out
+
+
+def test_composite_proxy_loss_parity(cloud):
+    from point2cyl_tpu.train.steps import assemble_heads, proxy_losses
+
+    x_raw, w_raw, batch = _composite_inputs(cloud)
+    cfg = _composite_cfg()
+    heads = assemble_heads(
+        jnp.array(x_raw), jnp.array(w_raw), True, True, k=K
+    )
+    total, aux = proxy_losses(heads, batch, cfg)
+    _, _, tout = _torch_composite(cloud, x_raw, w_raw)
+
+    for key in ("total", "normal", "miou", "bb", "extrusion", "center"):
+        np.testing.assert_allclose(
+            float(aux[key] if key != "total" else total),
+            float(tout[key].detach()),
+            atol=1e-4,
+            err_msg=key,
+        )
+
+
+def test_composite_proxy_loss_grad_parity(cloud):
+    """The composed scalar's gradients w.r.t. BOTH raw heads match —
+    pins the backward of the whole inline loss stack, including the
+    sort-free base/barrel CE contraction (the 6.4x rewrite) and the
+    eigensolver axis path."""
+    from point2cyl_tpu.train.steps import assemble_heads, proxy_losses
+
+    x_raw, w_raw, batch = _composite_inputs(cloud)
+    cfg = _composite_cfg()
+
+    def total_fn(xr, wr):
+        heads = assemble_heads(xr, wr, True, True, k=K)
+        return proxy_losses(heads, batch, cfg)[0]
+
+    gx, gw = jax.grad(total_fn, argnums=(0, 1))(
+        jnp.array(x_raw), jnp.array(w_raw)
+    )
+
+    xt, wt, tout = _torch_composite(cloud, x_raw, w_raw, requires_grad=True)
+    tout["total"].backward()
+
+    np.testing.assert_allclose(
+        np.asarray(gx), xt.grad.numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw), wt.grad.numpy(), atol=2e-4
+    )
+
+
+def test_composite_igr_loss_parity():
+    """Joint trainer's IGR block (manifold/eikonal/SALD/latent) as composed
+    scalars with a shared implicit net, shared latents, and shared
+    off-surface samples (train_Point2Cyl.py:608-672)."""
+    from tests.reference_trainer import reference_igr_losses
+
+    from point2cyl_tpu.core.torch_compat import export_implicit
+    from point2cyl_tpu.losses.igr import igr_losses, latent_loss
+    from point2cyl_tpu.models.implicit import ImplicitNet
+
+    bI, kI, sI, lat_dim = 2, 3, 64, 16
+    d_in = 2 + lat_dim
+    rng = np.random.default_rng(5)
+    net = ImplicitNet(d_in=d_in, hidden=(32,) * 7, skip_in=(4,))
+    params = net.init(jax.random.PRNGKey(3), jnp.zeros((1, 4, d_in)))[
+        "params"
+    ]
+
+    sk = rng.uniform(-1, 1, (bI, kI, sI, 2)).astype(np.float32)
+    nrm = rng.standard_normal((bI, kI, sI, 2)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+
+    def unit(a):
+        return a / np.linalg.norm(a, axis=-1, keepdims=True)
+
+    lat = unit(rng.standard_normal((bI * kI, lat_dim)).astype(np.float32))
+    lat_gt = unit(
+        rng.standard_normal((bI * kI, lat_dim)).astype(np.float32)
+    )
+    off = rng.uniform(
+        -1.8, 1.8, (bI * kI, sI + sI // 8, 2)
+    ).astype(np.float32)
+    mask = np.array([[True, True, False], [True, True, True]])
+
+    def sdf_fn(x):
+        return net.apply({"params": params}, x)
+
+    out = igr_losses(
+        sdf_fn, jax.random.PRNGKey(0), jnp.array(sk), jnp.array(nrm),
+        jnp.array(lat.reshape(bI, kI, lat_dim)), jnp.array(mask),
+        off_pts=jnp.array(off),
+    )
+    lat_angle = latent_loss(
+        jnp.array(lat.reshape(bI, kI, lat_dim)),
+        jnp.array(lat_gt.reshape(bI, kI, lat_dim)),
+        jnp.array(mask),
+        use_l2=False,
+    )
+
+    tnet = ref.igr_network.ImplicitNet(
+        d_in=d_in, dims=[32] * 7, skip_in=(4,)
+    )
+    sd = {k: torch.tensor(v) for k, v in export_implicit(params).items()}
+    missing, unexpected = tnet.load_state_dict(sd, strict=False)
+    assert not missing and not unexpected
+    tout = reference_igr_losses(
+        tnet, _t(lat), _t(lat_gt), _t(sk.reshape(bI * kI, sI, 2)),
+        _t(nrm.reshape(bI * kI, sI, 2)), _t(off), _t(mask), is_l2=False,
+    )
+
+    np.testing.assert_allclose(
+        float(out.manifold), float(tout["manifold"].detach()), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(out.eikonal), float(tout["eikonal"].detach()), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(out.normals), float(tout["sald"].detach()), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(lat_angle), float(tout["latent"].detach()), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(out.total + lat_angle),
+        float(tout["im_total"].detach()),
+        atol=2e-4,
+    )
