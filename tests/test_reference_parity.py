@@ -768,3 +768,146 @@ def test_composite_igr_loss_parity():
         float(tout["im_total"].detach()),
         atol=2e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval oracle-substitution matrix parity (eval.py:348-405): all 8
+# USE_GT_NORMALS x USE_GT_SEGMENTATION x USE_GT_BB combinations A/B'd
+# branch-by-branch against an inline-torch replication through the
+# reference's own library functions (VERDICT.md round-2 missing #3).
+# ---------------------------------------------------------------------------
+
+
+def _torch_axis_substitution(
+    w_raw, x_pred, cloud, use_gt_normals, use_gt_seg, use_gt_bb
+):
+    """Inline replication of eval.py:348-405 (minus the two documented
+    undefined-variable defects, which only affect the EA_W fed to the
+    centers path in the full-prediction branch)."""
+    losses = ref.losses
+    du = ref.data_utils
+    bsz, n, k2 = w_raw.shape
+    k = k2 // 2
+    w_2k = torch.softmax(_t(w_raw), dim=2)
+    w_barrel = w_2k[:, :, ::2]
+    w_base = w_2k[:, :, 1::2]
+    w = w_barrel + w_base
+    bb = torch.zeros(bsz, n, 2)
+    for j in range(k):
+        bb[:, :, 0] += w_2k[:, :, j * 2]
+        bb[:, :, 1] += w_2k[:, :, j * 2 + 1]
+
+    gt_inst = _t(cloud["seg"])
+    gt_bb = _t(cloud["bb"])
+    gt_normals = _t(cloud["normals"])
+    gt_axes = _t(cloud["axes"])
+    x = gt_normals if use_gt_normals else _t(x_pred)
+
+    ea_w = None
+    if use_gt_seg:
+        one_hot = torch.nn.functional.one_hot(
+            gt_inst.view(-1), num_classes=k
+        ).view(bsz, n, k)
+        ea_w = one_hot
+        if use_gt_bb:
+            labels = gt_bb.unsqueeze(-1).repeat(1, 1, k)
+        else:
+            labels = torch.argmax(bb, dim=-1).unsqueeze(-1).repeat(1, 1, k)
+        wb = torch.where(labels == 0, one_hot.float(), torch.tensor([0.0]))
+        wc = torch.where(labels == 1, one_hot.float(), torch.tensor([0.0]))
+    elif use_gt_bb:
+        w_hard = losses.hard_W_encoding(w, to_null_mask=True)
+        matching, _ = losses.hungarian_matching(
+            w_hard, gt_inst, with_mask=True
+        )
+        w_reordered = torch.gather(
+            w_hard, 2, matching.unsqueeze(1).expand(bsz, n, k)
+        )
+        ea_w = w_reordered
+        labels = gt_bb.unsqueeze(-1).repeat(1, 1, k)
+        wb = torch.where(
+            labels == 0, w_reordered.float(), torch.tensor([0.0])
+        )
+        wc = torch.where(
+            labels == 1, w_reordered.float(), torch.tensor([0.0])
+        )
+    else:
+        w_hard = losses.hard_W_encoding(w, to_null_mask=True)
+        matching, _ = losses.hungarian_matching(
+            w_hard, gt_inst, with_mask=True
+        )
+        wb = torch.gather(
+            w_barrel, 2, matching.unsqueeze(1).expand(bsz, n, k)
+        )
+        wc = torch.gather(
+            w_base, 2, matching.unsqueeze(1).expand(bsz, n, k)
+        )
+        # reference defect: EA_W = W_reordered (undefined here) — skipped
+
+    e_ax = du.estimate_extrusion_axis(
+        x, wb, wc, gt_bb, gt_inst, normalize=False
+    )
+    diff = losses.compute_normal_difference(
+        e_ax, gt_axes, in_radians=False, collapse=False
+    )
+    mask_gt = losses.get_mask_gt(gt_inst, k)
+    err = losses.reduce_mean_masked_instance(diff, mask_gt)
+    return wb, wc, ea_w, err
+
+
+@pytest.mark.parametrize("use_gt_normals", [False, True])
+@pytest.mark.parametrize(
+    "use_gt_seg,use_gt_bb",
+    [(False, False), (False, True), (True, False), (True, True)],
+)
+def test_eval_substitution_matrix_parity(
+    cloud, use_gt_normals, use_gt_seg, use_gt_bb
+):
+    from point2cyl_tpu.core.config import EvalConfig
+    from point2cyl_tpu.eval.metrics import (
+        axis_estimation_weights,
+        axis_metrics,
+        segmentation_metrics,
+    )
+
+    rng = np.random.default_rng(17)
+    w_raw = (2.0 * rng.standard_normal((B, N, 2 * K))).astype(np.float32)
+    x_pred = rng.standard_normal((B, N, 3)).astype(np.float32)
+    x_pred /= np.linalg.norm(x_pred, axis=-1, keepdims=True)
+
+    cfg = EvalConfig(
+        use_gt_normals=use_gt_normals,
+        use_gt_segmentation=use_gt_seg,
+        use_gt_bb=use_gt_bb,
+    )
+    w_2k = jax.nn.softmax(jnp.array(w_raw), axis=-1)
+    w_barrel = w_2k[:, :, ::2]
+    w_base = w_2k[:, :, 1::2]
+    w = w_barrel + w_base
+    i_gt = jnp.array(cloud["seg"].astype(np.int32))
+    gt_bb = jnp.array(cloud["bb"].astype(np.int32))
+    seg = segmentation_metrics(w, i_gt)
+    wb, wc, ea_w = axis_estimation_weights(
+        cfg, seg, w, w_barrel, w_base, w_2k, i_gt, gt_bb
+    )
+    err, _ = axis_metrics(
+        cfg, jnp.array(x_pred), jnp.array(cloud["normals"]), wb, wc,
+        i_gt, gt_bb, jnp.array(cloud["axes"]),
+    )
+
+    twb, twc, tea_w, terr = _torch_axis_substitution(
+        w_raw, x_pred, cloud, use_gt_normals, use_gt_seg, use_gt_bb
+    )
+    np.testing.assert_allclose(
+        np.asarray(wb), twb.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(wc), twc.numpy(), atol=1e-5
+    )
+    if tea_w is not None:
+        np.testing.assert_allclose(
+            np.asarray(ea_w), tea_w.float().numpy(), atol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(err), terr.numpy(), atol=2e-3
+    )

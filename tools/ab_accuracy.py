@@ -1,0 +1,236 @@
+"""Trained-accuracy A/B vs the reference (VERDICT.md round-2 missing #1).
+
+Subcommands:
+  pack        generate a shared synthetic train/eval h5 pair (reference
+              schema, ``data/h5_io.py``) that BOTH trainers read.
+  train-ref   CPU-torch reference trainer: the actual mounted reference
+              backbone (``models/pointnet_extrusion.py``) trained with a
+              verbatim-behavior replication of the
+              ``train_Point2Cyl_without_sketch.py:166-430`` loop
+              (``tests/reference_trainer.reference_proxy_losses`` drives
+              the reference's own loss library).
+  import-ref  convert a torch ``model.pth`` into an orbax ``pc_model``
+              checkpoint so ``p2c-eval`` evaluates reference-trained
+              weights through the SAME metric stack as repo-trained ones
+              (``core/torch_compat.import_backbone``).
+
+The repo side trains with the standard ``p2c-train`` CLI on the same h5.
+Protocol + results table: NOTES.md (round 3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def cmd_pack(args) -> None:
+    import numpy as np
+
+    from point2cyl_tpu.data.h5_io import PackedDataset, save_h5
+    from point2cyl_tpu.data.synthetic import generate_dataset
+
+    ds = generate_dataset(
+        args.train + args.eval, resolution=args.resolution,
+        max_instances=args.k, seed=args.seed,
+    )
+
+    def subset(sl) -> PackedDataset:
+        kw = {}
+        for f in PackedDataset.__dataclass_fields__:
+            v = getattr(ds, f)
+            kw[f] = None if v is None else np.asarray(v)[sl]
+        return PackedDataset(**kw)
+
+    os.makedirs(args.out, exist_ok=True)
+    save_h5(os.path.join(args.out, "train.h5"), subset(slice(0, args.train)))
+    save_h5(os.path.join(args.out, "test.h5"), subset(slice(args.train, None)))
+    print(
+        f"wrote {args.out}/train.h5 ({args.train}) and test.h5 "
+        f"({args.eval}) at resolution {args.resolution}, K={args.k}"
+    )
+
+
+def cmd_train_ref(args) -> None:
+    import h5py
+    import numpy as np
+    import torch
+
+    from reference_oracle import ref
+    from reference_trainer import reference_proxy_losses
+
+    torch.manual_seed(args.seed)
+    with h5py.File(args.h5, "r") as f:
+        pcs = f["point_cloud"][:].astype(np.float32)
+        normals = f["normals"][:].astype(np.float32)
+        ext_labels = f["extrusion_labels"][:].astype(np.int64)
+        bb_labels = f["base_barrel_labels"][:].astype(np.int64)
+        axes = f["extrusion_axes"][:].astype(np.float32)
+        centers = f["extrusion_centers"][:].astype(np.float32)
+    m, resolution, _ = pcs.shape
+    k = args.k
+    axes = axes[:, :k]
+    centers = centers[:, :k]
+
+    model = ref.pointnet_extrusion.backbone(output_sizes=[3, 2 * k])
+    model.train()
+    optimizer = torch.optim.Adam(model.parameters(), lr=args.lr)
+
+    # reference staircase schedules
+    # (train_Point2Cyl_without_sketch.py:143-165)
+    def bn_decay(global_step):
+        p = int(np.floor(global_step * args.batch_size / args.bn_decay_step))
+        return max(0.5 * (0.5 ** p), 1 - 0.99)
+
+    def lr_decay(global_step):
+        p = int(np.floor(global_step * args.batch_size / args.decay_step))
+        return args.lr * (args.decay_rate ** p)
+
+    global_step = 0
+    old_lr, old_bn = args.lr, 0.9
+    os.makedirs(args.logdir, exist_ok=True)
+    logf = open(os.path.join(args.logdir, "train.log"), "a")
+    nb = m // args.batch_size
+    for epoch in range(1, args.epochs + 1):
+        t0 = time.time()
+        order = torch.randperm(m).numpy()
+        ep_losses = []
+        for bi in range(nb):
+            rows = order[bi * args.batch_size : (bi + 1) * args.batch_size]
+            # per-item randperm subsample (dataloader.py:71-87)
+            sel = np.stack(
+                [
+                    torch.randperm(resolution)[: args.num_point].numpy()
+                    for _ in rows
+                ]
+            )
+            batch_pcs = torch.tensor(
+                np.take_along_axis(pcs[rows], sel[:, :, None], axis=1)
+            )
+            batch_normals = torch.tensor(
+                np.take_along_axis(normals[rows], sel[:, :, None], axis=1)
+            )
+            batch_ext = torch.tensor(
+                np.take_along_axis(ext_labels[rows], sel, axis=1)
+            )
+            batch_bb = torch.tensor(
+                np.take_along_axis(bb_labels[rows], sel, axis=1)
+            )
+            x_raw, w_raw = model(batch_pcs)
+            out = reference_proxy_losses(
+                x_raw, w_raw, batch_pcs, batch_normals, batch_ext,
+                batch_bb, torch.tensor(axes[rows]),
+                torch.tensor(centers[rows]),
+            )
+            optimizer.zero_grad()
+            bn = bn_decay(global_step)
+            if bn != old_bn:
+                for name, mod in model.named_modules():
+                    if "bn" in name:
+                        mod.momentum = bn
+                old_bn = bn
+            lr = lr_decay(global_step)
+            if lr != old_lr:
+                for g in optimizer.param_groups:
+                    g["lr"] = lr
+                old_lr = lr
+            out["total"].backward()
+            optimizer.step()
+            global_step += 1
+            ep_losses.append(float(out["total"].detach()))
+        msg = (
+            f"epoch {epoch}/{args.epochs} loss {np.mean(ep_losses):.4f} "
+            f"({time.time() - t0:.1f}s)"
+        )
+        print(msg, flush=True)
+        logf.write(msg + "\n")
+        logf.flush()
+        if epoch % 10 == 0 or epoch == args.epochs:
+            torch.save(
+                {"model": model.state_dict()},
+                os.path.join(args.logdir, "model.pth"),
+            )
+    logf.close()
+
+
+def cmd_import_ref(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from point2cyl_tpu.core.checkpoint import CheckpointManager
+    from point2cyl_tpu.core.config import BackboneConfig
+    from point2cyl_tpu.core.torch_compat import (
+        import_backbone,
+        load_torch_checkpoint,
+    )
+    from point2cyl_tpu.models.backbone import Backbone
+
+    sd = load_torch_checkpoint(args.pth)
+    if "model" in sd:
+        sd = sd["model"]
+    backbone = Backbone(
+        BackboneConfig(
+            num_points=args.num_point, output_sizes=(3, 2 * args.k)
+        )
+    )
+    key = jax.random.key(0)
+    b_vars = backbone.init(
+        {"params": key, "sample": key, "dropout": key},
+        jnp.zeros((1, args.num_point, 3)),
+        train=False,
+    )
+    params, batch_stats = import_backbone(
+        sd, b_vars["params"], b_vars["batch_stats"]
+    )
+    CheckpointManager(args.out).save(
+        "pc_model", {"params": params, "batch_stats": batch_stats}
+    )
+    print(f"imported {args.pth} -> {args.out}/pc_model")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pack")
+    p.add_argument("--out", required=True)
+    p.add_argument("--train", type=int, default=64)
+    p.add_argument("--eval", type=int, default=32)
+    p.add_argument("--resolution", type=int, default=1024)
+    p.add_argument("--k", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("train-ref")
+    p.add_argument("--h5", required=True)
+    p.add_argument("--logdir", required=True)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_point", type=int, default=512)
+    p.add_argument("--k", type=int, default=8)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--decay_step", type=int, default=200_000)
+    p.add_argument("--decay_rate", type=float, default=0.7)
+    p.add_argument("--bn_decay_step", type=int, default=200_000)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train_ref)
+
+    p = sub.add_parser("import-ref")
+    p.add_argument("--pth", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num_point", type=int, default=512)
+    p.add_argument("--k", type=int, default=8)
+    p.set_defaults(fn=cmd_import_ref)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
