@@ -88,9 +88,19 @@ class TorchBatchNorm(nn.Module):
         )
         if train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axes)
-            var = jnp.var(x, axes)
+            # Two-pass variance with batch-row partial sums FIRST: the
+            # non-batch reduction (axis 1..) is then shard-local and
+            # bitwise identical between single-device and data-parallel
+            # runs; only the tiny batch-axis combine can reassociate.
+            # Reducing all axes at once lets XLA pick a different
+            # summation tree per sharding, and that noise — amplified by
+            # softplus(beta=100) downstream — was the 8e-3 tolerance in
+            # the joint 1-vs-8 equality test (VERDICT.md round-2 weak #5).
             n = x.size // self.features
+            inner = tuple(range(1, x.ndim - 1))
+            mean = jnp.sum(jnp.sum(x, inner), axis=0) / n
+            centered = x - mean
+            var = jnp.sum(jnp.sum(centered * centered, inner), axis=0) / n
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
                 ra_mean.value = (
