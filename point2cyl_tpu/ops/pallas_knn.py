@@ -52,11 +52,10 @@ def _dot_high(a, b, dims, full: bool = False):
 def _knn3_weights(q, p, eps):
     """Normalized 3-NN inverse-distance weight tile (T, S).
 
-    Selection via min + threshold-compare instead of argmin + iota-onehot
-    (fewer VPU passes). Exact distance ties are broken toward the lowest
-    source index — one point consumed per iteration, each with full
-    weight — matching the reference's sequential argmin
-    (``pointnet_util.py:298-303``)."""
+    Selection via a single keyed integer min per iteration (see below).
+    Exact distance ties are broken toward the lowest source index — one
+    point consumed per iteration, each with full weight — matching the
+    reference's sequential argmin (``pointnet_util.py:298-303``)."""
     t = q.shape[0]
     # The squared-distance cancellation needs the cross term at full f32:
     # any bias b in q.p at a coincident pair q == p leaves d ~ 2b, which
@@ -78,21 +77,37 @@ def _knn3_weights(q, p, eps):
     # sampling density is >= ~1e-4) so the self-weight is exactly 1/eps
     # as in the reference.
     d = jnp.where(d <= 1e-5 * (sq_q + sq_p), 0.0, d)
+    # Keyed-min selection (the fp pass-diet, NOTES.md round-3 item 1):
+    # the bit pattern of a non-negative f32 is monotone as an int32, so
+    # masking the low LB mantissa bits and packing the column index there
+    # yields ONE integer key whose min realizes both nearest-distance
+    # selection and lowest-index tie-break — 1 min + 1 compare + 1 select
+    # per iteration instead of the previous two-stage tie-break (~6 VPU
+    # passes/iter vs ~11). Quantizing d down by <= 2^-13 relative only
+    # perturbs the 1/(d+eps) weights (selection order is preserved up to
+    # the quantum, and d == 0 keeps key == col -> dk == 0 -> exact 1/eps
+    # self-weight).
+    s = p.shape[0]
+    if s > 1024:
+        raise ValueError(f"3-NN kernel supports S <= 1024, got {s}")
+    lb_mask = jnp.int32(1024 - 1)
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    key = (
+        jax.lax.bitcast_convert_type(d, jnp.int32) & ~lb_mask
+    ) | col
     weights = jnp.zeros_like(d)
     wsum = jnp.zeros((t, 1), jnp.float32)
-    dcur = d
+    big = jnp.int32(2**31 - 1)
     for _ in range(3):
-        dk = jnp.min(dcur, axis=1, keepdims=True)  # (T, 1)
-        tied = dcur <= dk
-        first = jnp.min(
-            jnp.where(tied, col, jnp.int32(2**30)), axis=1, keepdims=True
-        )
-        oh = (tied & (col == first)).astype(jnp.float32)  # exact one-hot
+        kmin = jnp.min(key, axis=1, keepdims=True)  # (T, 1) int32
+        sel = key == kmin  # exact one-hot
+        dk = jax.lax.bitcast_convert_type(
+            kmin & ~lb_mask, jnp.float32
+        )  # (T, 1) quantized selected distance
         wk = 1.0 / (dk + eps)
-        weights = weights + oh * wk
+        weights = weights + sel.astype(jnp.float32) * wk
         wsum = wsum + wk
-        dcur = dcur + oh * jnp.float32(1e30)
+        key = jnp.where(sel, big, key)
     return weights / wsum
 
 
@@ -135,7 +150,7 @@ def _knn3_bwd_kernel(dst_ref, src_ref, g_ref, out_ref, *, eps: float):
     out_ref[0] += contrib
 
 
-def _interp_bwd_feats(xyz_dst, xyz_src, g, eps, tile):
+def _interp_bwd_feats(xyz_dst, xyz_src, g, eps, tile, interpret=False):
     """d_feats = W^T g without materializing W in HBM."""
     b, n, _ = xyz_dst.shape
     s = xyz_src.shape[1]
@@ -162,16 +177,18 @@ def _interp_bwd_feats(xyz_dst, xyz_src, g, eps, tile):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, s, c), jnp.float32),
+        interpret=interpret,
     )(xyz_dst, xyz_src, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def three_nn_interpolate_pallas(
     xyz_dst: jax.Array,
     xyz_src: jax.Array,
     feats_src: jax.Array,
     eps: float = 1e-8,
     tile: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """Fused 3-NN inverse-distance interpolation (semantics of
     ``pointnet_util.py:298-308`` / ``ops.grouping.three_nn_interpolate``).
@@ -189,10 +206,12 @@ def three_nn_interpolate_pallas(
 
     Returns (B, N, C).
     """
-    return _interp_fwd_impl(xyz_dst, xyz_src, feats_src, eps, tile)
+    return _interp_fwd_impl(xyz_dst, xyz_src, feats_src, eps, tile,
+                            interpret)
 
 
-def _interp_fwd_impl(xyz_dst, xyz_src, feats_src, eps, tile):
+def _interp_fwd_impl(xyz_dst, xyz_src, feats_src, eps, tile,
+                     interpret=False):
     b, n, _ = xyz_dst.shape
     s = xyz_src.shape[1]
     c = feats_src.shape[-1]
@@ -222,15 +241,17 @@ def _interp_fwd_impl(xyz_dst, xyz_src, feats_src, eps, tile):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, c), feats_src.dtype),
+        interpret=interpret,
     )(xyz_dst, xyz_src, feats_src)
 
 
-def _interp_fwd(xyz_dst, xyz_src, feats_src, eps, tile):
-    out = _interp_fwd_impl(xyz_dst, xyz_src, feats_src, eps, tile)
+def _interp_fwd(xyz_dst, xyz_src, feats_src, eps, tile, interpret):
+    out = _interp_fwd_impl(xyz_dst, xyz_src, feats_src, eps, tile,
+                           interpret)
     return out, (xyz_dst, xyz_src)
 
 
-def _interp_bwd(eps, tile, res, g):
+def _interp_bwd(eps, tile, interpret, res, g):
     xyz_dst, xyz_src = res
     n = xyz_dst.shape[1]
     d_feats = _interp_bwd_feats(
@@ -239,6 +260,7 @@ def _interp_bwd(eps, tile, res, g):
         g,
         eps,
         min(tile, n),
+        interpret,
     ).astype(g.dtype)
     return (
         jnp.zeros_like(xyz_dst),

@@ -198,3 +198,89 @@ def test_sa_grouped_exact_vjp_matches_xla_gather():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-4
         )
+
+
+def test_three_nn_interpolate_pallas_semantics():
+    """Fused 3-NN vs an exact numpy oracle: self-points (src subset of
+    dst) recover the source feature; tie-break is lowest source index
+    with full weight per consumed point (reference sequential argmin,
+    pointnet_util.py:298-303)."""
+    from point2cyl_tpu.ops.pallas_knn import three_nn_interpolate_pallas
+
+    b, n, s, c = 2, 64, 16, 8
+    src = RNG.normal(size=(b, s, 3)).astype(np.float32)
+    extra = RNG.normal(size=(b, n - s, 3)).astype(np.float32)
+    dst = np.concatenate([src, extra], axis=1)
+    feats = RNG.normal(size=(b, s, c)).astype(np.float32)
+
+    out = np.asarray(
+        three_nn_interpolate_pallas(
+            jnp.array(dst), jnp.array(src), jnp.array(feats),
+            1e-8, 8, True,
+        )
+    )
+
+    # numpy oracle: exact distances, sequential argmin, 1/(d+eps)
+    def oracle(dst_np, src_np, feats_np):
+        res = np.zeros((dst_np.shape[0], c), np.float32)
+        for i, q in enumerate(dst_np):
+            d = np.sum((src_np - q) ** 2, axis=1)
+            order = np.argsort(d, kind="stable")[:3]
+            w = 1.0 / (d[order] + 1e-8)
+            w /= w.sum()
+            res[i] = (w[:, None] * feats_np[order]).sum(0)
+        return res
+
+    want = np.stack([oracle(dst[i], src[i], feats[i]) for i in range(b)])
+    np.testing.assert_allclose(out, want, atol=2e-3)
+    # self-points dominated by the 1/eps weight
+    np.testing.assert_allclose(out[:, :s], feats, atol=1e-4)
+
+
+def test_three_nn_interpolate_pallas_exact_ties():
+    """Two coincident sources at distance 0: both consumed with full
+    1/eps weight, third neighbor is the true next-nearest."""
+    from point2cyl_tpu.ops.pallas_knn import three_nn_interpolate_pallas
+
+    src = np.zeros((1, 8, 3), np.float32)
+    src[0, :, 0] = [0.0, 0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
+    feats = np.arange(8, dtype=np.float32).reshape(1, 8, 1)
+    dst = np.zeros((1, 8, 3), np.float32)  # all queries at the origin
+
+    out = np.asarray(
+        three_nn_interpolate_pallas(
+            jnp.array(dst), jnp.array(src), jnp.array(feats),
+            1e-8, 8, True,
+        )
+    )
+    # weights: src0 (d=0) 1e8, src1 (d=0) 1e8, src2 (d=0.25) 4
+    w = np.array([1e8, 1e8, 4.0])
+    want = (w * np.array([0.0, 1.0, 2.0])).sum() / w.sum()
+    np.testing.assert_allclose(out[0, :, 0], want, atol=1e-5)
+
+
+def test_three_nn_interpolate_pallas_vjp_matches_xla():
+    from point2cyl_tpu.ops.grouping import three_nn_interpolate
+    from point2cyl_tpu.ops.pallas_knn import three_nn_interpolate_pallas
+
+    b, n, s, c = 2, 64, 16, 8
+    src = RNG.normal(size=(b, s, 3)).astype(np.float32)
+    dst = RNG.normal(size=(b, n, 3)).astype(np.float32)
+    feats = RNG.normal(size=(b, s, c)).astype(np.float32)
+
+    g = jax.grad(
+        lambda f: jnp.sum(
+            three_nn_interpolate_pallas(
+                jnp.array(dst), jnp.array(src), f, 1e-8, 8, True
+            )
+            ** 2
+        )
+    )(jnp.array(feats))
+    g_ref = jax.grad(
+        lambda f: jnp.sum(
+            three_nn_interpolate(jnp.array(dst), jnp.array(src), f) ** 2
+        )
+    )(jnp.array(feats))
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), atol=2e-2, rtol=1e-3
+    )
