@@ -57,28 +57,21 @@ _EXACT_N_MAX = 1024
 _OVERSAMPLE = 4
 
 
-def _cross_term(q, p, exact: bool):
-    """q (TQ, 3) x p (3, N) inner products.
+def _exact_d(q, p_cf):
+    """Exact f32 squared distances via broadcast differences.
 
-    HIGHEST when ``exact`` (the small-N path claims bit-exact reference
-    selection); otherwise a hi/lo split (two DEFAULT bf16 passes, ~1e-5
-    abs error — far below the radius^2 scale, and the blocked path's
-    selection is statistical anyway).
+    q (TQ, 3); p_cf (3, N) channels-first. 9 VPU passes over (TQ, N) —
+    both cheaper and MORE accurate than the |q|^2+|p|^2-2q.p expansion:
+    a (TQ,3)x(3,N) cross matmul runs at ~2% MXU utilization (contraction
+    dim 3 pads to 128), so HIGHEST costs 6 full-width passes, and any
+    bf16 split biases the cancellation. Differences are exact, so the
+    in-radius test matches the reference bit-for-bit.
     """
-    dims = (((1,), (0,)), ((), ()))
-    if exact:
-        return jax.lax.dot_general(
-            q, p, dimension_numbers=dims,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-    q_hi = q.astype(jnp.bfloat16).astype(jnp.float32)
-    p_hi = p.astype(jnp.bfloat16).astype(jnp.float32)
-    dot = functools.partial(
-        jax.lax.dot_general, dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-    )
-    return dot(q_hi, p_hi) + dot(q_hi, p - p_hi) + dot(q - q_hi, p_hi)
+    d = jnp.zeros((q.shape[0], p_cf.shape[1]), jnp.float32)
+    for c in range(3):
+        dc = q[:, c : c + 1] - p_cf[c][None, :]
+        d = d + dc * dc
+    return d
 
 
 def _compact(cand, valid, nsample):
@@ -135,12 +128,7 @@ def _ballquery_kernel(q_ref, p_ref, out_ref, *, radius2: float,
     tq = q.shape[0]
     n = p.shape[1]
 
-    cross = _cross_term(q, p, exact=n <= _EXACT_N_MAX)
-    d = (
-        jnp.sum(q * q, axis=1, keepdims=True)
-        + jnp.sum(p * p, axis=0)[None, :]
-        - 2.0 * cross
-    )  # (TQ, N)
+    d = _exact_d(q, p)  # (TQ, N)
 
     if n <= _EXACT_N_MAX:
         # Exact reference semantics: all N indices are candidates.
@@ -214,12 +202,7 @@ def _ballquery_grouped_kernel(q_ref, p_ref, out_ref, g_ref, *,
     n = p.shape[1]
     nblocks = n // _BLK
 
-    cross = _cross_term(q, p, exact=False)
-    d = (
-        jnp.sum(q * q, axis=1, keepdims=True)
-        + jnp.sum(p * p, axis=0)[None, :]
-        - 2.0 * cross
-    )  # (TQ, N)
+    d = _exact_d(q, p)  # (TQ, N)
 
     w2 = (
         (d.reshape(tq, nblocks, _BLK) <= radius2)
@@ -309,17 +292,7 @@ def _sa_grouped_exact_kernel(q_ref, p_ref, f_ref, out_ref, g_ref, *,
     tq = q.shape[0]
     n = p.shape[0]
 
-    cross = jax.lax.dot_general(
-        q, p,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    d = (
-        jnp.sum(q * q, axis=1, keepdims=True)
-        + jnp.sum(p * p, axis=1)[None, :]
-        - 2.0 * cross
-    )
+    d = _exact_d(q, jnp.swapaxes(p, 0, 1))
     valid = (d <= radius2).astype(jnp.float32)
     cand = jax.lax.broadcasted_iota(jnp.int32, (tq, n), 1).astype(
         jnp.float32

@@ -57,26 +57,20 @@ def _knn3_weights(q, p, eps):
     point consumed per iteration, each with full weight — matching the
     reference's sequential argmin (``pointnet_util.py:298-303``)."""
     t = q.shape[0]
-    # The squared-distance cancellation needs the cross term at full f32:
-    # any bias b in q.p at a coincident pair q == p leaves d ~ 2b, which
-    # swamps eps=1e-8 and demotes the self-weight that dominates FP
-    # interpolation (src is a subset of dst) from ~1.0 to 0.5-0.9. Even
-    # a 4-pass hi/lo split leaves ~1e-4 (the lo operands themselves round
-    # to bf16); HIGHEST (6 passes) reaches ~1e-6, and the contraction dim
-    # is 3 so the extra passes are ~free next to the (T, S) output writes.
-    sq_q = jnp.sum(q * q, axis=1, keepdims=True)  # (T, 1)
-    sq_p = jnp.sum(p * p, axis=1)[None, :]  # (1, S)
-    cross = jax.lax.dot_general(
-        q, p, dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (T, S)
-    d = sq_q + sq_p - 2.0 * cross
-    # Snap the residual ~1e-6-scale rounding to exactly 0 at coincident
-    # pairs (relative tolerance; genuine nearest-neighbor d^2 at mesh
-    # sampling density is >= ~1e-4) so the self-weight is exactly 1/eps
-    # as in the reference.
-    d = jnp.where(d <= 1e-5 * (sq_q + sq_p), 0.0, d)
+    # EXACT f32 squared distances via broadcast differences (9 VPU
+    # passes), not the |q|^2+|p|^2-2q.p expansion. The expansion's
+    # cancellation at coincident pairs (src is a subset of dst in FP
+    # interpolation) demotes the 1/eps self-weight unless the cross term
+    # is near-exact — and a (T,3)x(3,S) matmul runs at ~2% MXU
+    # utilization (contraction dim 3 pads to 128), so even one matmul
+    # pass costs like a full 128-contraction pass: HIGHEST (6 passes)
+    # measured 2.1 ms/fwd at fp1 shapes vs ~0.8 ms for the exact VPU
+    # differences. Exactness also removes the snap-to-zero epilogue: a
+    # coincident pair gives d == 0 bitwise.
+    d = jnp.zeros((t, p.shape[0]), jnp.float32)
+    for c in range(3):
+        dc = q[:, c : c + 1] - p[:, c][None, :]
+        d = d + dc * dc
     # Keyed-min selection (the fp pass-diet, NOTES.md round-3 item 1):
     # the bit pattern of a non-negative f32 is monotone as an int32, so
     # masking the low LB mantissa bits and packing the column index there
@@ -95,7 +89,9 @@ def _knn3_weights(q, p, eps):
     key = (
         jax.lax.bitcast_convert_type(d, jnp.int32) & ~lb_mask
     ) | col
-    weights = jnp.zeros_like(d)
+    # The 3-hot weight matrix is built with one select per iteration
+    # (each position is chosen at most once, so where() composes).
+    wmat = jnp.zeros_like(d)
     wsum = jnp.zeros((t, 1), jnp.float32)
     big = jnp.int32(2**31 - 1)
     for _ in range(3):
@@ -105,10 +101,10 @@ def _knn3_weights(q, p, eps):
             kmin & ~lb_mask, jnp.float32
         )  # (T, 1) quantized selected distance
         wk = 1.0 / (dk + eps)
-        weights = weights + sel.astype(jnp.float32) * wk
+        wmat = jnp.where(sel, wk, wmat)
         wsum = wsum + wk
         key = jnp.where(sel, big, key)
-    return weights / wsum
+    return wmat / wsum
 
 
 def _knn3_kernel(dst_ref, src_ref, feats_ref, out_ref, *, eps: float):
