@@ -284,3 +284,27 @@ def test_three_nn_interpolate_pallas_vjp_matches_xla():
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(g_ref), atol=2e-2, rtol=1e-3
     )
+
+def test_exact_counting_compaction_matches_reference_selection():
+    """The scatter-free counting compaction (``_compact_exact``) must
+    reproduce the reference's first-``nsample``-in-index-order selection
+    with duplicate-of-first padding (``pointnet_util.py:87-107``) on
+    adversarial valid masks — including rows with very few and exactly
+    ``nsample`` in-radius points."""
+    from point2cyl_tpu.ops.grouping import ball_query
+
+    B, N, S, NS = 2, 256, 32, 16
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    q = pts[:, :S]
+    for radius in (0.05, 0.2, 0.6):  # sparse -> dense neighborhoods
+        idx = np.asarray(
+            ball_query_pallas(
+                radius, NS, jnp.asarray(pts), jnp.asarray(q),
+                tile_q=32, interpret=True,
+            )
+        )
+        ref = np.asarray(ball_query(radius, NS, jnp.asarray(pts),
+                                    jnp.asarray(q)))
+        np.testing.assert_array_equal(idx, ref)
