@@ -284,11 +284,6 @@ def _ballquery_grouped_kernel(q_ref, p_ref, out_ref, g_ref, *,
     # --- fused gather: p[idx] - q ---
     jj = idx // _BLK  # (TQ, NS) block of each neighbor
     ll = idx - jj * _BLK  # lane within block
-    onehot = (
-        jj[:, :, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (tq, nsample, nblocks), 2)
-    ).astype(jnp.float32)
-    onehot2 = onehot.reshape(tq * nsample, nblocks)
     # lane-selection one-hot, used as a masked reduction below (cheaper
     # than broadcasting ll to full width for take_along_axis + the
     # lane-0 extraction relayout it requires)
@@ -306,13 +301,40 @@ def _ballquery_grouped_kernel(q_ref, p_ref, out_ref, g_ref, *,
     ptab = jnp.concatenate([p3[0], p3[1], p3[2]], axis=1)  # (nb, 3*128)
     ptab_hi = ptab.astype(jnp.bfloat16).astype(jnp.float32)
     dims = (((1,), (0,)), ((), ()))
-    rows3 = jax.lax.dot_general(
-        onehot2, ptab_hi, dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-    ) + jax.lax.dot_general(
-        onehot2, ptab - ptab_hi, dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-    )  # (TQ*NS, 3*128)
+    if nblocks < _BLK:
+        # Contraction-stacked hi/lo: [oh | oh] @ [tab_hi ; tab_lo] equals
+        # oh@tab_hi + oh@tab_lo exactly (one-hot rows pick one entry per
+        # half; f32 MXU accumulation), but one contraction-2*nb matmul at
+        # full MXU utilization replaces two half-utilization
+        # contraction-nb passes (at SA1 shapes nb=64: two 64-deep passes
+        # -> one 128-deep pass).
+        oh_cat = (
+            jj[:, :, None]
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (tq, nsample, 2 * nblocks), 2
+            ) % nblocks
+        ).astype(jnp.float32).reshape(tq * nsample, 2 * nblocks)
+        tab_cat = jnp.concatenate([ptab_hi, ptab - ptab_hi], axis=0)
+        rows3 = jax.lax.dot_general(
+            oh_cat, tab_cat, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )  # (TQ*NS, 3*128)
+    else:
+        # nblocks >= 128: both passes already run the MXU at full
+        # contraction depth; stacking would double the FLOPs.
+        onehot2 = (
+            jj[:, :, None]
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (tq, nsample, nblocks), 2
+            )
+        ).astype(jnp.float32).reshape(tq * nsample, nblocks)
+        rows3 = jax.lax.dot_general(
+            onehot2, ptab_hi, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            onehot2, ptab - ptab_hi, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )  # (TQ*NS, 3*128)
     for cdim in range(3):
         rows = rows3[:, cdim * _BLK : (cdim + 1) * _BLK].reshape(
             tq, nsample, _BLK
