@@ -72,10 +72,35 @@ class CheckpointManager:
 
     def load_meta(self) -> dict:
         path = os.path.join(self.logdir, "meta.json")
-        if not os.path.exists(path):
-            return {}
-        with open(path) as f:
-            return json.load(f)
+        meta: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                meta = json.load(f)
+        if jax.process_count() > 1:
+            # meta.json is written by process 0 only, and logdirs may be
+            # per-process rather than shared. Broadcast process 0's view
+            # so every resume decision derived from it (the best-loss
+            # gate in save_epoch -> the COLLECTIVE orbax save calls) is
+            # uniform across processes; divergent best_loss would desync
+            # the barrier count inside save() and deadlock the job.
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            vec = np.array(
+                [
+                    1.0 if meta else 0.0,
+                    float(meta.get("epoch", 0)),
+                    float(meta.get("best_loss", float("inf"))),
+                ],
+                np.float32,
+            )
+            vec = np.asarray(multihost_utils.broadcast_one_to_all(vec))
+            meta = (
+                {"epoch": int(vec[1]), "best_loss": float(vec[2])}
+                if vec[0] > 0
+                else {}
+            )
+        return meta
 
 
 def host_state(state: Any) -> Any:

@@ -211,10 +211,16 @@ class FeaturePropagation(nn.Module):
                 feats_src, (feats_src.shape[0], n, feats_src.shape[2])
             )
         else:
+            # 'auto' must mirror every constraint the kernel enforces
+            # (raise-vs-fallback consistency, same rule as
+            # ball_query_shapes_supported): the keyed-min selection packs
+            # the source index into 10 low mantissa bits, so S <= 1024.
+            s = xyz_src.shape[1]
             use_pallas = self.knn_impl == "pallas" or (
                 self.knn_impl == "auto"
                 and jax.default_backend() != "cpu"
                 and n % 256 == 0
+                and s <= 1024
             )
             if use_pallas:
                 from point2cyl_tpu.ops.pallas_knn import (

@@ -57,19 +57,23 @@ _EXACT_N_MAX = 1024
 _OVERSAMPLE = 4
 
 
-def _exact_d(q, p_cf):
+def _exact_d(q, p, channels_first=True):
     """Exact f32 squared distances via broadcast differences.
 
-    q (TQ, 3); p_cf (3, N) channels-first. 9 VPU passes over (TQ, N) —
-    both cheaper and MORE accurate than the |q|^2+|p|^2-2q.p expansion:
-    a (TQ,3)x(3,N) cross matmul runs at ~2% MXU utilization (contraction
-    dim 3 pads to 128), so HIGHEST costs 6 full-width passes, and any
-    bf16 split biases the cancellation. Differences are exact, so the
-    in-radius test matches the reference bit-for-bit.
+    q (TQ, 3); p (3, N) channels-first or (N, 3) channels-last. 9 VPU
+    passes over (TQ, N) — both cheaper and MORE accurate than the
+    |q|^2+|p|^2-2q.p expansion: a (TQ,3)x(3,N) cross matmul runs at ~2%
+    MXU utilization (contraction dim 3 pads to 128), so HIGHEST costs 6
+    full-width passes, and any bf16 split biases the cancellation.
+    Differences are exact, so the in-radius test matches the reference
+    bit-for-bit. (Shared by the ball-query kernels and the 3-NN
+    interpolation kernel in ``pallas_knn.py``.)
     """
-    d = jnp.zeros((q.shape[0], p_cf.shape[1]), jnp.float32)
+    n = p.shape[1] if channels_first else p.shape[0]
+    d = jnp.zeros((q.shape[0], n), jnp.float32)
     for c in range(3):
-        dc = q[:, c : c + 1] - p_cf[c][None, :]
+        pc = p[c][None, :] if channels_first else p[:, c][None, :]
+        dc = q[:, c : c + 1] - pc
         d = d + dc * dc
     return d
 

@@ -19,21 +19,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from point2cyl_tpu.ops.pallas_ballquery import _exact_d
 
-def _dot_high(a, b, dims, full: bool = False):
+
+def _dot_high(a, b, dims):
     """~Precision.HIGH f32 matmul as three DEFAULT (bf16) passes.
 
     Mosaic supports only DEFAULT (1 bf16 pass, ~8 mantissa bits) and
     HIGHEST (6 passes). Splitting both operands hi/lo and dropping the
     lo*lo term recovers ~17 mantissa bits at half the HIGHEST cost —
     plenty for interpolated features (abs error ~1e-5).
-
-    ``full=True`` keeps the lo*lo term (4 passes), giving the exact
-    product up to f32 accumulation rounding (~1e-7). Required where the
-    result feeds a squared-distance cancellation: dropping lo*lo biases
-    ``|q|^2 + |p|^2 - 2 q.p`` by ``+2 q_lo.p_lo`` (~1e-5), which at a
-    coincident pair q == p swamps eps=1e-8 and demotes the self-weight
-    from ~1.0 to a data-dependent 0.5-0.9.
     """
     a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
     a_lo = a - a_hi
@@ -43,10 +38,7 @@ def _dot_high(a, b, dims, full: bool = False):
         jax.lax.dot_general, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
     )
-    out = dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
-    if full:
-        out = out + dot(a_lo, b_lo)
-    return out
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
 def _knn3_weights(q, p, eps):
@@ -57,20 +49,15 @@ def _knn3_weights(q, p, eps):
     point consumed per iteration, each with full weight — matching the
     reference's sequential argmin (``pointnet_util.py:298-303``)."""
     t = q.shape[0]
-    # EXACT f32 squared distances via broadcast differences (9 VPU
-    # passes), not the |q|^2+|p|^2-2q.p expansion. The expansion's
-    # cancellation at coincident pairs (src is a subset of dst in FP
-    # interpolation) demotes the 1/eps self-weight unless the cross term
-    # is near-exact — and a (T,3)x(3,S) matmul runs at ~2% MXU
-    # utilization (contraction dim 3 pads to 128), so even one matmul
-    # pass costs like a full 128-contraction pass: HIGHEST (6 passes)
-    # measured 2.1 ms/fwd at fp1 shapes vs ~0.8 ms for the exact VPU
+    # EXACT f32 squared distances via broadcast differences (shared
+    # helper; see its docstring), not the |q|^2+|p|^2-2q.p expansion.
+    # The expansion's cancellation at coincident pairs (src is a subset
+    # of dst in FP interpolation) demotes the 1/eps self-weight unless
+    # the cross term is near-exact — HIGHEST (6 passes) measured
+    # 2.1 ms/fwd at fp1 shapes vs ~0.8 ms for the exact VPU
     # differences. Exactness also removes the snap-to-zero epilogue: a
     # coincident pair gives d == 0 bitwise.
-    d = jnp.zeros((t, p.shape[0]), jnp.float32)
-    for c in range(3):
-        dc = q[:, c : c + 1] - p[:, c][None, :]
-        d = d + dc * dc
+    d = _exact_d(q, p, channels_first=False)
     # Keyed-min selection (the fp pass-diet, NOTES.md round-3 item 1):
     # the bit pattern of a non-negative f32 is monotone as an int32, so
     # masking the low LB mantissa bits and packing the column index there

@@ -129,6 +129,13 @@ def cmd_train_ref(args) -> None:
                 torch.tensor(centers[rows]),
             )
             optimizer.zero_grad()
+            # NOTE: momentum/lr are deliberately updated AFTER the
+            # forward pass — the reference does exactly this
+            # (train_Point2Cyl_without_sketch.py:354-366: forward, then
+            # bn/lr update between zero_grad and backward), so each
+            # batch's BN running-stat update uses the momentum computed
+            # at the previous step. Verbatim-behavior replication
+            # includes this off-by-one.
             bn = bn_decay(global_step)
             if bn != old_bn:
                 for name, mod in model.named_modules():
