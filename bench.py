@@ -166,10 +166,17 @@ def main() -> None:
     args = ap.parse_args()
 
     # Training lines first; the INFERENCE line prints LAST so the
-    # driver's parsed headline metric stays clouds/sec inference.
+    # driver's parsed headline metric stays clouds/sec inference. Each
+    # section is fenced: a failure in one must not cost the artifact its
+    # headline line.
     if not args.no_train:
         for b in (64, 4):
-            cps = train_throughput(args.n, b)
+            try:
+                cps = train_throughput(args.n, b)
+            except Exception as e:  # pragma: no cover - defensive
+                print(json.dumps({"metric": f"train_throughput_b{b}_n{args.n}",
+                                  "error": str(e)[:200]}), flush=True)
+                continue
             print(
                 json.dumps(
                     {
@@ -181,18 +188,22 @@ def main() -> None:
                 ),
                 flush=True,
             )
-        s = joint_step_seconds()
-        print(
-            json.dumps(
-                {
-                    "metric": "joint_train_step_reference_shapes",
-                    "value": round(s, 4),
-                    "unit": "sec/step",
-                    "vs_baseline": round(0.45 / s, 2),  # round-1 step time
-                }
-            ),
-            flush=True,
-        )
+        try:
+            s = joint_step_seconds()
+            print(
+                json.dumps(
+                    {
+                        "metric": "joint_train_step_reference_shapes",
+                        "value": round(s, 4),
+                        "unit": "sec/step",
+                        "vs_baseline": round(0.45 / s, 2),  # round-1 step
+                    }
+                ),
+                flush=True,
+            )
+        except Exception as e:  # pragma: no cover - defensive
+            print(json.dumps({"metric": "joint_train_step_reference_shapes",
+                              "error": str(e)[:200]}), flush=True)
     if args.sweep:
         for n, b in ((16384, 16), (32768, 8)):
             cps = throughput(n, b, iters=5)

@@ -308,3 +308,59 @@ def test_exact_counting_compaction_matches_reference_selection():
         ref = np.asarray(ball_query(radius, NS, jnp.asarray(pts),
                                     jnp.asarray(q)))
         np.testing.assert_array_equal(idx, ref)
+
+
+def test_blocked_compaction_matches_slot_semantics():
+    """``_compact`` (the blocked-path rank->slot compaction) must pick
+    the first ``nsample`` VALID candidates in column order, padding
+    short rows with the first valid candidate (zeros when a row has no
+    valid candidate at all) — the exact semantics the per-slot loop it
+    replaced implemented, pinned here bitwise on adversarial masks."""
+    from point2cyl_tpu.ops.pallas_ballquery import _compact
+
+    rng = np.random.default_rng(11)
+    tq, m, ns = 16, 256, 64
+    for density in (0.0, 0.01, 0.2, 0.9):
+        valid = (rng.random((tq, m)) < density).astype(np.float32)
+        valid[0] = 0.0  # force an all-invalid row
+        valid[1] = 1.0  # and a fully-valid one
+        cand = rng.integers(0, 8192, size=(tq, m)).astype(np.float32)
+        got = np.asarray(
+            jax.jit(lambda c, v: _compact(c, v, ns))(
+                jnp.asarray(cand), jnp.asarray(valid)
+            )
+        )
+        want = np.zeros((tq, ns), np.int32)
+        for t in range(tq):
+            picks = cand[t, valid[t] > 0].astype(np.int32)
+            k = min(len(picks), ns)
+            want[t, :k] = picks[:k]
+            want[t, k:] = picks[0] if len(picks) else 0
+        np.testing.assert_array_equal(got, want)
+
+
+def test_auto_dispatch_gates_mirror_kernel_constraints():
+    """The 'auto' dispatch gates must be strictly more conservative than
+    the kernels' trace-time ValueErrors: any (n, s, nsample) the gate
+    accepts must trace without raising (interpret mode), so 'auto' users
+    can never hit a shape crash (ADVICE r2, low #5)."""
+    from point2cyl_tpu.ops.pallas_ballquery import (
+        ball_query_shapes_supported,
+        sa_grouped_exact_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    for n, s, nsample in [
+        (256, 48, 24), (256, 96, 32), (512, 128, 64), (1024, 64, 16),
+        (384, 32, 16), (256, 64, 48),
+    ]:
+        if not ball_query_shapes_supported(n, s, nsample):
+            continue
+        pts = rng.normal(size=(1, n, 3)).astype(np.float32)
+        feats = rng.normal(size=(1, n, 4)).astype(np.float32)
+        q = pts[:, :s]
+        # Must not raise (values themselves are covered elsewhere).
+        sa_grouped_exact_pallas(
+            0.4, nsample, jnp.asarray(pts), jnp.asarray(feats),
+            jnp.asarray(q), tile_q=32, interpret=True,
+        )
