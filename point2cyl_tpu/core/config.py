@@ -25,6 +25,33 @@ EXTRUSION_OPERATIONS = {
 }
 
 
+def add_platform_arg(p) -> None:
+    """Add the shared ``--platform`` flag (TPU-framework extension).
+
+    Lets any entry point force a JAX platform — e.g. ``--platform cpu``
+    to run evals/training without a TPU, or when the remote-TPU tunnel
+    is unavailable. ``None`` keeps the environment's default backend.
+    """
+    p.add_argument(
+        "--platform", choices=("cpu", "tpu", "axon"), default=None,
+        help="force the JAX platform (e.g. 'cpu' to run without a TPU); "
+        "default: the environment's backend",
+    )
+
+
+def apply_platform(platform: Optional[str]) -> None:
+    """Apply ``--platform`` before first backend use.
+
+    Must run before any JAX computation: setting ``jax_platforms`` after
+    backend initialization has no effect (and the environment variable
+    is consumed too early to override from a console script).
+    """
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 @dataclasses.dataclass(frozen=True)
 class BackboneConfig:
     """PointNet++ backbone hyperparameters.

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from point2cyl_tpu.core.checkpoint import CheckpointManager
-from point2cyl_tpu.core.config import EvalConfig
+from point2cyl_tpu.core.config import (EvalConfig, add_platform_arg,
+                                        apply_platform)
 from point2cyl_tpu.data.h5_io import load_h5
 from point2cyl_tpu.data.pipeline import InputPipeline
 from point2cyl_tpu.data.synthetic import generate_dataset
@@ -330,11 +331,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_resolution", type=int, default=8192)
     p.add_argument("--no_implicit", action="store_true",
                    help="skip the implicit fitting metrics")
+    add_platform_arg(p)
     return p
 
 
 def cli_main() -> None:
     args = build_argparser().parse_args()
+    apply_platform(args.platform)
     cfg = EvalConfig(
         pred_seg=args.pred_seg,
         pred_normal=args.pred_normal,

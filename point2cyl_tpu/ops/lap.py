@@ -14,8 +14,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_INF = jnp.float32(1e30)
+# numpy (not jnp) scalar: a module-level jnp constant would initialize
+# the JAX backend at import time — `import point2cyl_tpu.ops` must not
+# touch the (possibly remote) device.
+_INF = np.float32(1e30)
 
 
 def _lap_single(cost: jax.Array) -> jax.Array:

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from point2cyl_tpu.core.config import BackboneConfig, EvalConfig
+from point2cyl_tpu.core.config import (BackboneConfig, EvalConfig,
+                                        add_platform_arg, apply_platform)
 from point2cyl_tpu.eval import metrics as M
 from point2cyl_tpu.losses.segmentation import reorder_w
 from point2cyl_tpu.models.backbone import Backbone
@@ -356,11 +357,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="reconstruct a synthetic sample (model_id = index)")
     p.add_argument("--synthetic_resolution", type=int, default=8192)
     p.add_argument("--seed", type=int, default=0)
+    add_platform_arg(p)
     return p
 
 
 def cli_main() -> None:
     args = build_argparser().parse_args()
+    apply_platform(args.platform)
     t_start = time.time()
     os.makedirs(args.dump_dir, exist_ok=True)
     k = args.K

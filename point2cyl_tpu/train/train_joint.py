@@ -29,7 +29,8 @@ import optax
 from flax import struct
 
 from point2cyl_tpu.core.checkpoint import CheckpointManager, host_state
-from point2cyl_tpu.core.config import LossWeights, TrainConfig
+from point2cyl_tpu.core.config import (LossWeights, TrainConfig,
+                                        add_platform_arg, apply_platform)
 from point2cyl_tpu.core.logging import TrainLogger
 from point2cyl_tpu.core.schedules import (
     make_optax_lr_schedule,
@@ -400,11 +401,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", type=int, default=None)
     p.add_argument("--synthetic_resolution", type=int, default=8192)
     p.add_argument("--seed", type=int, default=0)
+    add_platform_arg(p)
     return p
 
 
 def cli_main() -> None:
     args = build_argparser().parse_args()
+    apply_platform(args.platform)
     if args.multihost:
         # must run before any other JAX backend use
         from point2cyl_tpu.parallel.distributed import initialize

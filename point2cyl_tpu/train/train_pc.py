@@ -16,7 +16,9 @@ import jax
 import numpy as np
 
 from point2cyl_tpu.core.checkpoint import CheckpointManager, host_state
-from point2cyl_tpu.core.config import BackboneConfig, LossWeights, TrainConfig
+from point2cyl_tpu.core.config import (BackboneConfig, LossWeights,
+                                        TrainConfig, add_platform_arg,
+                                        apply_platform)
 from point2cyl_tpu.core.logging import TrainLogger
 from point2cyl_tpu.data.h5_io import load_h5
 from point2cyl_tpu.data.pipeline import InputPipeline
@@ -247,6 +249,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ballquery_impl", type=str, default="auto",
                    choices=["auto", "xla", "pallas"])
     p.add_argument("--seed", type=int, default=0)
+    add_platform_arg(p)
     return p
 
 
@@ -284,6 +287,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
 
 def cli_main() -> None:
     args = build_argparser().parse_args()
+    apply_platform(args.platform)
     if args.multihost:
         # must run before any other JAX backend use
         from point2cyl_tpu.parallel.distributed import initialize
