@@ -206,7 +206,12 @@ def main() -> None:
                               "error": str(e)[:200]}), flush=True)
     if args.sweep:
         for n, b in ((16384, 16), (32768, 8)):
-            cps = throughput(n, b, iters=5)
+            try:
+                cps = throughput(n, b, iters=5)
+            except Exception as e:  # pragma: no cover - defensive
+                print(json.dumps({"metric": f"inference_throughput_n{n}",
+                                  "error": str(e)[:200]}), flush=True)
+                continue
             print(
                 json.dumps(
                     {

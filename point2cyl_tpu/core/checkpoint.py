@@ -43,6 +43,24 @@ class CheckpointManager:
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
 
+    def exists_global(self, name: str) -> bool:
+        """Process-uniform existence check for resume/rollback gates.
+
+        The local ``os.path`` view can diverge across hosts (ocdbt files
+        are written by process 0; logdirs may be per-process), and a
+        divergent gate in front of the COLLECTIVE orbax restore
+        deadlocks the job — so broadcast process 0's view before anyone
+        decides to enter the restore.
+        """
+        local = self.exists(name)
+        if jax.process_count() == 1:
+            return local
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        vec = np.array([1.0 if local else 0.0], np.float32)
+        return bool(multihost_utils.broadcast_one_to_all(vec)[0] > 0)
+
     def save_epoch(
         self,
         epoch: int,

@@ -256,6 +256,47 @@ def guard_finite(
     return sel, 1.0 - finite.astype(jnp.float32)
 
 
+def log_epoch_aux(logger, aux_host, gstep0: int) -> int:
+    """Record per-step loss scalars, EXCLUDING steps the non-finite
+    guard skipped — their aux values are NaN/Inf, and one such point
+    would poison the epoch means (NaN mean disables the best-model
+    comparison and lands NaN in TB/log.txt). Returns the skipped count.
+    """
+    skipped = 0
+    for j, a in enumerate(aux_host):
+        sk = int(a.pop("skipped", 0))
+        skipped += sk
+        if sk:
+            continue
+        for tag, val in a.items():
+            logger.scalar(f"Loss/{tag}", float(val), gstep0 + j)
+    return skipped
+
+
+def handle_skipped_epoch(
+    logger, ckpt, mesh, state, skipped: int, steps_per_epoch: int,
+    epoch: int,
+):
+    """Shared backstop for both trainers: log skipped-step counts, and
+    when an ENTIRE epoch was non-finite (persistent chip fault, not a
+    transient) roll back to the last on-disk checkpoint. The existence
+    gate is process-uniform (``exists_global``) so no host can enter
+    the collective restore alone."""
+    if not skipped:
+        return state
+    logger.log(
+        f"! Epoch {epoch:04d}: {skipped}/{steps_per_epoch} "
+        "non-finite steps skipped (state kept)"
+    )
+    if skipped >= steps_per_epoch and ckpt.exists_global("model"):
+        from point2cyl_tpu.core.checkpoint import host_state
+        from point2cyl_tpu.parallel.mesh import replicate
+
+        state = replicate(mesh, ckpt.restore("model", host_state(state)))
+        logger.log("! Entire epoch non-finite: restored last checkpoint")
+    return state
+
+
 def init_state(
     model, cfg: TrainConfig, tx: optax.GradientTransformation, key: jax.Array,
     num_points: int,

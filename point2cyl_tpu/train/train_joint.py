@@ -578,7 +578,7 @@ def cli_main() -> None:
     best_loss = float("inf")
     steps_per_epoch = max(pipeline.num_samples // cfg.batch_size, 1)
     start_epoch = 1
-    if args.resume and ckpt.exists("model"):
+    if args.resume and ckpt.exists_global("model"):
         restored = ckpt.restore("model", host_state(state))
         state = restored
         meta = ckpt.load_meta()
@@ -616,17 +616,12 @@ def cli_main() -> None:
                         f"{n}: {float(v):.4f}" for n, v in sorted(a.items())
                     )
                 )
-        skipped = 0
-        for j, a in enumerate(jax.device_get(aux_buf)):
-            gstep = (epoch - 1) * steps_per_epoch + j
-            skipped += int(a.pop("skipped", 0))
-            for tag, val in a.items():
-                logger.scalar(f"Loss/{tag}", float(val), gstep)
-        if skipped:
-            logger.log(
-                f"! Epoch {epoch:04d}: {skipped}/{steps_per_epoch} "
-                "non-finite steps skipped (state kept)"
-            )
+        skipped = steps.log_epoch_aux(
+            logger, jax.device_get(aux_buf), (epoch - 1) * steps_per_epoch
+        )
+        state = steps.handle_skipped_epoch(
+            logger, ckpt, mesh, state, skipped, steps_per_epoch, epoch
+        )
         means = logger.epoch_means()
         logger.log(
             f"> Epoch {epoch:04d} done in {time.time()-t0:.1f}s"

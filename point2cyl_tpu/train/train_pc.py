@@ -109,7 +109,7 @@ def train(
     best_loss = float("inf")
     steps_per_epoch = max(pipeline.num_samples // cfg.batch_size, 1)
     start_epoch = 1
-    if cfg.resume and ckpt.exists("model"):
+    if cfg.resume and ckpt.exists_global("model"):
         restored = ckpt.restore("model", host_state(state))
         state = replicate(mesh, restored)
         meta = ckpt.load_meta()
@@ -156,27 +156,12 @@ def train(
                         float(a["extrusion"]), float(a["center"]),
                     )
                 )
-        skipped = 0
-        for j, a in enumerate(jax.device_get(aux_buf)):
-            gstep = epoch * steps_per_epoch + j
-            skipped += int(a.pop("skipped", 0))
-            for tag, val in a.items():
-                logger.scalar(f"Loss/{tag}", float(val), gstep)
-        if skipped:
-            # the in-graph guard already kept the pre-step state on every
-            # non-finite step (steps.guard_finite); log, and if the whole
-            # epoch was corrupt (persistent chip fault, not a transient),
-            # roll back to the last on-disk checkpoint as a backstop
-            logger.log(
-                f"! Epoch {epoch:04d}: {skipped}/{steps_per_epoch} "
-                "non-finite steps skipped (state kept)"
-            )
-            if skipped >= steps_per_epoch and ckpt.exists("model"):
-                restored = ckpt.restore("model", host_state(state))
-                state = replicate(mesh, restored)
-                logger.log(
-                    "! Entire epoch non-finite: restored last checkpoint"
-                )
+        skipped = steps.log_epoch_aux(
+            logger, jax.device_get(aux_buf), epoch * steps_per_epoch
+        )
+        state = steps.handle_skipped_epoch(
+            logger, ckpt, mesh, state, skipped, steps_per_epoch, epoch
+        )
         means = logger.epoch_means()
         logger.log(
             f"> Epoch {epoch:04d} done in {time.time() - t0:.1f}s | "

@@ -176,3 +176,28 @@ def test_train_step_nonfinite_guard():
     assert float(aux["skipped"]) == 0.0
     assert np.isfinite(float(aux["total"]))
     assert int(jax.device_get(state).step) == int(before.step) + 1
+
+
+def test_log_epoch_aux_excludes_skipped_steps():
+    """Skipped (non-finite) steps must not contribute their NaN scalars:
+    one NaN point would make the epoch mean NaN, which both poisons the
+    logs and silently disables the best-model comparison in save_epoch
+    (NaN < best is always False)."""
+
+    class FakeLogger:
+        def __init__(self):
+            self.vals = []
+
+        def scalar(self, tag, val, step):
+            self.vals.append((tag, val, step))
+
+    aux = [
+        {"total": 1.0, "skipped": 0.0},
+        {"total": float("nan"), "skipped": 1.0},
+        {"total": 2.0, "skipped": 0.0},
+    ]
+    logger = FakeLogger()
+    skipped = steps.log_epoch_aux(logger, aux, 100)
+    assert skipped == 1
+    assert [(v, s) for _, v, s in logger.vals] == [(1.0, 100), (2.0, 102)]
+    assert all(np.isfinite(v) for _, v, _ in logger.vals)
