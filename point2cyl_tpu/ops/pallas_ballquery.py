@@ -99,18 +99,28 @@ def _compact(cand, valid, nsample):
         preferred_element_type=jnp.float32,
     )  # (TQ, M)
     total = rank[:, m - 1 : m]  # (TQ, 1) valid-candidate count
-    rankv = rank * valid  # 0 for invalid -> one-hot test needs no mask
-    # rank->slot scatter as a per-slot loop of 2D ops. Measured against a
-    # (TQ, M, slots) one-hot formulation (both full and 16-slot-chunked):
-    # 3D variants lose badly because a minor dim < 128 pads to a full
-    # 128-lane vreg (8x wasted traffic); the 2D loop stays dense.
-    slots = []
-    for r in range(nsample):
-        # `sel` is one-hot per row, so a masked row-sum realizes the
-        # rank->slot scatter.
-        sel = (rankv == jnp.float32(r + 1)).astype(jnp.float32)
-        slots.append(jnp.sum(sel * cand, axis=1, keepdims=True))
-    out = jnp.concatenate(slots, axis=1).astype(jnp.int32)
+    # Slot r's candidate sits at column pos = #(m: rank <= r): rank is an
+    # inclusive prefix count that increments by exactly 1 at each valid
+    # column, so the first column with rank == r+1 IS the (r+1)-th valid
+    # one. All slots count at once as a (TQ, NS, M) broadcast
+    # compare+reduce — slots on the SUBLANE axis, M (a 128-multiple) on
+    # the lane axis, so nothing pads. (A round-2 attempt with slots as
+    # the MINOR dim measured 8x padded traffic and lost; the 64-slot 2D
+    # loop it fell back to was issue-bound at ~2.2 ms — ~192 tiny VPU
+    # ops per program. This form is ~6 wide fused passes.)
+    slot_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (tq, nsample, m), 1
+    ).astype(jnp.float32)
+    pos = jnp.sum(
+        (rank[:, None, :] <= slot_iota).astype(jnp.float32), axis=2
+    )  # (TQ, NS) column of each slot's candidate; == m when r >= total
+    pos = jnp.minimum(pos, jnp.float32(m - 1))
+    # Gather cand[t, pos[t, r]] the same way: lane-one-hot masked reduce.
+    lane_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (tq, nsample, m), 2
+    ).astype(jnp.float32)
+    sel = (lane_iota == pos[:, :, None]).astype(jnp.float32)
+    out = jnp.sum(sel * cand[:, None, :], axis=2).astype(jnp.int32)
     found = (
         jax.lax.broadcasted_iota(jnp.int32, (1, nsample), 1).astype(
             jnp.float32
@@ -119,7 +129,9 @@ def _compact(cand, valid, nsample):
     )
     # Slot 0 = first valid candidate = globally smallest in-radius index
     # (always valid: each query center is within radius of itself).
-    pad = out[:, 0:1]
+    # total == 0 cannot occur on the live path; keep the old loop's
+    # all-zeros output for that case anyway (pos would point at m-1).
+    pad = jnp.where(total > 0, out[:, 0:1], 0)
     return jnp.where(found, out, pad)
 
 
@@ -147,14 +159,15 @@ def _compact_exact(valid, nsample):
         preferred_element_type=jnp.float32,
     )  # (TQ, M) inclusive prefix count, non-decreasing
     total = rank[:, m - 1 : m]
-    slots = [
-        jnp.sum(
-            (rank <= jnp.float32(r)).astype(jnp.float32),
-            axis=1, keepdims=True,
-        )
-        for r in range(nsample)
-    ]
-    out = jnp.concatenate(slots, axis=1)
+    # All slots at once: (TQ, NS, M) broadcast compare+reduce with slots
+    # on the sublane axis and M on the (unpadded) lane axis — see the
+    # layout note in :func:`_compact`.
+    slot_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (tq, nsample, m), 1
+    ).astype(jnp.float32)
+    out = jnp.sum(
+        (rank[:, None, :] <= slot_iota).astype(jnp.float32), axis=2
+    )  # (TQ, NS)
     found = (
         jax.lax.broadcasted_iota(jnp.int32, (1, nsample), 1).astype(
             jnp.float32
@@ -363,7 +376,7 @@ def _sa_grouped_exact_kernel(q_ref, p_ref, f_ref, out_ref, g_ref, *,
     tq = q.shape[0]
     n = p.shape[0]
 
-    d = _exact_d(q, jnp.swapaxes(p, 0, 1))
+    d = _exact_d(q, p, channels_first=False)
     valid = (d <= radius2).astype(jnp.float32)
     idx = _compact_exact(valid, nsample)  # (TQ, NS)
     out_ref[0] = idx
