@@ -20,9 +20,11 @@ def _has_platform_flag(parser) -> bool:
 def test_platform_flag_on_every_jax_cli():
     from point2cyl_tpu.eval import evaluator
     from point2cyl_tpu.recon import reconstruct
+    from point2cyl_tpu.serve import export as serve_export
     from point2cyl_tpu.train import train_joint, train_pc
 
-    for mod in (evaluator, train_pc, train_joint, reconstruct):
+    for mod in (evaluator, train_pc, train_joint, reconstruct,
+                serve_export):
         assert _has_platform_flag(mod.build_argparser()), mod.__name__
 
 
@@ -44,7 +46,8 @@ def test_entry_module_imports_do_not_initialize_backend():
     code = (
         "import point2cyl_tpu, point2cyl_tpu.ops, "
         "point2cyl_tpu.eval.evaluator, point2cyl_tpu.train.train_pc, "
-        "point2cyl_tpu.train.train_joint, point2cyl_tpu.recon.reconstruct\n"
+        "point2cyl_tpu.train.train_joint, point2cyl_tpu.recon.reconstruct, "
+        "point2cyl_tpu.serve\n"
         "from jax._src import xla_bridge\n"
         "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
         "print('LAZY_OK')\n"
