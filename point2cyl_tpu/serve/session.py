@@ -7,6 +7,14 @@ padding rows are sliced off before returning. The backbone is strictly
 per-sample at inference (BatchNorm runs on stored statistics; no
 cross-sample op exists in the network), so zero-padding rows cannot
 perturb real rows.
+
+Multi-chip serving is chunk-level data parallelism: pass ``devices=`` and
+chunks round-robin across them, each running the unmodified
+single-device executable (async dispatch overlaps the devices; results
+gather at the end). This deliberately avoids SPMD-partitioning the
+exported program — Mosaic custom calls are opaque to the partitioner,
+and per-sample inference has nothing to gain from intra-program
+collectives.
 """
 
 from __future__ import annotations
@@ -28,17 +36,28 @@ class InferenceSession:
     >>> out["normals"].shape, out["w"].shape  # assembled heads
     """
 
-    def __init__(self, artifact: str | LoadedArtifact):
+    def __init__(self, artifact: str | LoadedArtifact,
+                 devices: list | None = None):
+        """``devices``: serve data-parallel over these devices (default:
+        the backend default device only). Chunks round-robin across them;
+        each device runs the unmodified single-device program, so this
+        composes with Mosaic-kernel artifacts that an SPMD partitioner
+        could not split."""
         art = (load_artifact(artifact) if isinstance(artifact, str)
                else artifact)
         self.meta = art.meta
-        self._weights = art.weights
         # One jitted caller per bucket; jit caches the underlying
         # executable so repeated predict() calls do not re-lower.
         self._calls = {
             b: jax.jit(exp.call) for b, exp in art.programs.items()
         }
         self._buckets = sorted(self._calls)
+        self._devices = list(devices) if devices else [None]
+        # Weights live on every serving device once, up front.
+        self._dev_weights = [
+            art.weights if d is None else jax.device_put(art.weights, d)
+            for d in self._devices
+        ]
         self.stats = {"requests": 0, "clouds": 0, "padded": 0,
                       "device_s": 0.0}
 
@@ -59,10 +78,13 @@ class InferenceSession:
             raise ValueError(
                 f"expected (n, {self.num_points}, 3), got {pts.shape}"
             )
-        chunks: list[dict[str, np.ndarray]] = []
         max_b = self._buckets[-1]
         t0 = time.perf_counter()
+        # Phase 1 — dispatch every chunk (JAX dispatch is async, so
+        # chunks on different devices overlap; on one device they queue).
+        pending: list[tuple[int, dict]] = []  # (take, device outputs)
         i = 0
+        d = 0
         while i < n:
             take = min(max_b, n - i)
             b = self._bucket_for(take)
@@ -71,10 +93,20 @@ class InferenceSession:
                 pad = np.zeros((b - take, self.num_points, 3), pts.dtype)
                 chunk = np.concatenate([chunk, pad], axis=0)
                 self.stats["padded"] += b - take
-            out = self._calls[b](self._weights, chunk)
-            out = jax.device_get(out)
-            chunks.append({k: v[:take] for k, v in out.items()})
+            dev = self._devices[d % len(self._devices)]
+            if dev is not None:
+                chunk = jax.device_put(chunk, dev)
+            out = self._calls[b](self._dev_weights[d % len(self._devices)],
+                                 chunk)
+            pending.append((take, out))
             i += take
+            d += 1
+        # Phase 2 — gather results back to host.
+        chunks = [
+            {k: np.asarray(jax.device_get(v))[:take]
+             for k, v in out.items()}
+            for take, out in pending
+        ]
         self.stats["device_s"] += time.perf_counter() - t0
         self.stats["requests"] += 1
         self.stats["clouds"] += n

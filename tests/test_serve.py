@@ -165,3 +165,21 @@ def test_export_cli_has_platform_flag():
 
     actions = build_argparser()._actions
     assert any("--platform" in a.option_strings for a in actions)
+
+
+def test_multidevice_session_matches_single(artifact):
+    """devices=all 8 virtual CPU devices: round-robin chunk dispatch must
+    reproduce the single-device session bitwise (same executables, same
+    shapes — only placement differs)."""
+    path, _, _, _ = artifact
+    devs = jax.devices()
+    assert len(devs) == 8  # conftest virtual CPU mesh
+    single = InferenceSession(path)
+    multi = InferenceSession(path, devices=devs)
+    pts = RNG.normal(size=(7, CFG.num_points, 3)).astype(np.float32)
+    a = single.predict(pts, assemble=False)
+    b = multi.predict(pts, assemble=False)
+    np.testing.assert_array_equal(a["x_raw"], b["x_raw"])
+    np.testing.assert_array_equal(a["w_raw"], b["w_raw"])
+    # 7 clouds with buckets [1, 2] -> chunks 2,2,2,1 across 4 devices
+    assert multi.stats["clouds"] == 7
