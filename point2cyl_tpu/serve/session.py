@@ -58,6 +58,10 @@ class InferenceSession:
             art.weights if d is None else jax.device_put(art.weights, d)
             for d in self._devices
         ]
+        # Round-robin cursor persists ACROSS requests: a stream of
+        # single-chunk requests must still spread over all devices, not
+        # pile onto device 0.
+        self._next_dev = 0
         self.stats = {"requests": 0, "clouds": 0, "padded": 0,
                       "device_s": 0.0}
 
@@ -84,7 +88,6 @@ class InferenceSession:
         # chunks on different devices overlap; on one device they queue).
         pending: list[tuple[int, dict]] = []  # (take, device outputs)
         i = 0
-        d = 0
         while i < n:
             take = min(max_b, n - i)
             b = self._bucket_for(take)
@@ -93,14 +96,14 @@ class InferenceSession:
                 pad = np.zeros((b - take, self.num_points, 3), pts.dtype)
                 chunk = np.concatenate([chunk, pad], axis=0)
                 self.stats["padded"] += b - take
-            dev = self._devices[d % len(self._devices)]
+            d = self._next_dev
+            self._next_dev = (d + 1) % len(self._devices)
+            dev = self._devices[d]
             if dev is not None:
                 chunk = jax.device_put(chunk, dev)
-            out = self._calls[b](self._dev_weights[d % len(self._devices)],
-                                 chunk)
+            out = self._calls[b](self._dev_weights[d], chunk)
             pending.append((take, out))
             i += take
-            d += 1
         # Phase 2 — gather results back to host.
         chunks = [
             {k: np.asarray(jax.device_get(v))[:take]

@@ -183,3 +183,10 @@ def test_multidevice_session_matches_single(artifact):
     np.testing.assert_array_equal(a["w_raw"], b["w_raw"])
     # 7 clouds with buckets [1, 2] -> chunks 2,2,2,1 across 4 devices
     assert multi.stats["clouds"] == 7
+    # The round-robin cursor persists across requests, so a stream of
+    # single-chunk requests spreads over all devices instead of piling
+    # onto device 0.
+    assert multi._next_dev == 4
+    c = multi.predict(pts[:2], assemble=False)
+    np.testing.assert_array_equal(a["x_raw"][:2], c["x_raw"])
+    assert multi._next_dev == 5
