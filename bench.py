@@ -149,6 +149,35 @@ def joint_step_seconds(steps_n: int = 10) -> float:
     return (time.perf_counter() - t0) / steps_n
 
 
+def serve_throughput(n_points: int, batch: int) -> dict:
+    """AOT serving-session throughput: export a fresh-init ``.p2cx``
+    artifact and drive :class:`InferenceSession.benchmark` — the full
+    serving path, including the host->device input copy and the
+    device->host result fetch on every request (unlike the
+    device-resident inference line)."""
+    import os
+    import tempfile
+
+    from point2cyl_tpu.serve import InferenceSession
+    from point2cyl_tpu.serve.export import export_artifact
+
+    model = Backbone(
+        BackboneConfig(num_points=n_points, output_sizes=(3, 16))
+    )
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "sample": key, "dropout": key},
+        jnp.zeros((1, n_points, 3)),
+        train=False,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "bench.p2cx")
+        export_artifact(path, variables, k=8, num_points=n_points,
+                        buckets=(batch,))
+        sess = InferenceSession(path)
+        return sess.benchmark(batch, iters=5)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
@@ -163,7 +192,36 @@ def main() -> None:
         "default they are emitted so the driver-captured artifact "
         "records training throughput too",
     )
+    ap.add_argument(
+        "--no-serve", action="store_true",
+        help="skip the AOT serving-session line",
+    )
+    ap.add_argument(
+        "--serve-only", action="store_true",
+        help="internal: print only the serving line (run in a "
+        "timeout-guarded subprocess so a backend stall inside the "
+        "serving path cannot cost the artifact its headline line)",
+    )
+    from point2cyl_tpu.core.config import add_platform_arg, apply_platform
+
+    add_platform_arg(ap)
     args = ap.parse_args()
+    apply_platform(args.platform)
+
+    if args.serve_only:
+        r = serve_throughput(args.n, args.batch)
+        print(
+            json.dumps(
+                {
+                    "metric": f"serve_session_throughput_n{args.n}",
+                    "value": round(r["clouds_per_sec"], 2),
+                    "unit": "clouds/sec/chip",
+                    "vs_baseline": round(r["clouds_per_sec"] / TARGET, 4),
+                }
+            ),
+            flush=True,
+        )
+        return
 
     # Training lines first; the INFERENCE line prints LAST so the
     # driver's parsed headline metric stays clouds/sec inference. Each
@@ -204,6 +262,32 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             print(json.dumps({"metric": "joint_train_step_reference_shapes",
                               "error": str(e)[:200]}), flush=True)
+    if not args.no_serve:
+        # Subprocess + timeout: the serving path compiles a deserialized
+        # StableHLO program and round-trips tensors every request; a
+        # remote-backend stall in there must not hang the whole bench.
+        import subprocess
+        import sys
+
+        cmd = [sys.executable, __file__, "--serve-only",
+               "--n", str(args.n), "--batch", str(args.batch)]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=900)
+            line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
+            if r.returncode == 0 and line.startswith("{"):
+                print(line, flush=True)
+            else:
+                print(json.dumps(
+                    {"metric": f"serve_session_throughput_n{args.n}",
+                     "error": (line + " | " + r.stderr[-150:])[:200]}),
+                    flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps(
+                {"metric": f"serve_session_throughput_n{args.n}",
+                 "error": "timeout after 900s"}), flush=True)
     if args.sweep:
         for n, b in ((16384, 16), (32768, 8)):
             try:
