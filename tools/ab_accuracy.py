@@ -201,6 +201,77 @@ def cmd_import_ref(args) -> None:
     print(f"imported {args.pth} -> {args.out}/pc_model")
 
 
+_METRICS = {
+    "mIoU": "Mean mIOU=",
+    "normal_deg": "Mean normal angle error (degrees) =",
+    "bb_acc": "Mean base/barrel accuracy=",
+    "axis_deg": "Mean extrusion angle error (degrees) =",
+    "centroid": "Mean centroid difference =",
+}
+
+
+def cmd_summary(args) -> None:
+    """Rebuild the A/B table mechanically from the ``p2c-eval`` logs.
+
+    Groups ``ab_eval_{repo|ref}_s{N}[_cpu].log`` files by side, prints
+    one row per trained seed plus per-metric mean +/- std and a Welch
+    t-test — the reproducible source of the NOTES.md tables.
+    """
+    import glob
+    import math
+    import re
+
+    import numpy as np
+
+    rows = []  # (side, label, {metric: value})
+    for path in sorted(glob.glob(os.path.join(args.log_dir,
+                                              "ab_eval_*.log"))):
+        m = re.match(r"ab_eval_(repo|ref)_s(\d+)(_cpu)?\.log",
+                     os.path.basename(path))
+        if not m:
+            continue
+        text = open(path).read()
+        vals = {}
+        for name, prefix in _METRICS.items():
+            hit = re.search(re.escape(prefix) + r"\s*([0-9.eE+-]+)", text)
+            if hit:
+                vals[name] = float(hit.group(1))
+        if len(vals) != len(_METRICS):
+            continue  # incomplete/failed eval
+        label = f"s{m.group(2)}" + ("/cpu" if m.group(3) else "")
+        rows.append((m.group(1), label, vals))
+
+    cols = list(_METRICS)
+    print(f"{'side':5} {'seed':7} " + " ".join(f"{c:>11}" for c in cols))
+    for side, label, vals in rows:
+        print(f"{side:5} {label:7} "
+              + " ".join(f"{vals[c]:11.4f}" for c in cols))
+    by_side = {
+        s: {c: np.array([v[c] for sd, _, v in rows if sd == s])
+            for c in cols}
+        for s in ("repo", "ref")
+    }
+    print()
+    for c in cols:
+        a, b = by_side["repo"][c], by_side["ref"][c]
+        if len(a) < 2 or len(b) < 2:
+            continue
+        va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+        t = (a.mean() - b.mean()) / math.sqrt(va + vb)
+        dof = (va + vb) ** 2 / (
+            va**2 / (len(a) - 1) + vb**2 / (len(b) - 1)
+        )
+        try:
+            from scipy import stats
+
+            p = 2 * stats.t.sf(abs(t), dof)
+        except ImportError:  # normal approximation
+            p = math.erfc(abs(t) / math.sqrt(2))
+        print(f"{c:11} repo {a.mean():.4f}±{a.std(ddof=1):.4f} (n={len(a)})"
+              f"  ref {b.mean():.4f}±{b.std(ddof=1):.4f} (n={len(b)})"
+              f"  Welch t={t:+.2f} p={p:.3f}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -234,6 +305,10 @@ def main() -> None:
     p.add_argument("--num_point", type=int, default=512)
     p.add_argument("--k", type=int, default=8)
     p.set_defaults(fn=cmd_import_ref)
+
+    p = sub.add_parser("summary")
+    p.add_argument("--log_dir", default="/tmp")
+    p.set_defaults(fn=cmd_summary)
 
     args = ap.parse_args()
     args.fn(args)
