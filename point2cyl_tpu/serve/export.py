@@ -52,14 +52,29 @@ def _make_config(num_points: int, output_sizes: tuple[int, ...],
     return BackboneConfig(**d)
 
 
-def _backbone_forward(config):
+def _backbone_forward(config, *, k=None, pred_seg=True, pred_bb=True):
+    """Model + serving forward. With ``k`` given, the program also emits
+    the assembled eval-facing heads (normalized ``normals``, softmaxed
+    ``w`` and, with the bb head, ``w_barrel``/``w_base``) so a session
+    fetches final quantities in ONE device round-trip — the session only
+    transfers the keys the caller asked for."""
     from point2cyl_tpu.models.backbone import Backbone
 
     model = Backbone(config)
 
     def fn(variables, points):
+        from point2cyl_tpu.train.steps import assemble_heads
+
         x_raw, w_raw = model.apply(variables, points, train=False)
-        return {"x_raw": x_raw, "w_raw": w_raw}
+        out = {"x_raw": x_raw, "w_raw": w_raw}
+        if k is not None:
+            heads = assemble_heads(x_raw, w_raw, pred_seg, pred_bb, k=k)
+            out["normals"] = heads.normals
+            out["w"] = heads.w
+            if pred_seg and pred_bb:
+                out["w_barrel"] = heads.w_barrel
+                out["w_base"] = heads.w_base
+        return out
 
     return model, fn
 
@@ -103,7 +118,9 @@ def export_artifact(
             raise ValueError("need num_points or backbone_config")
         sizes = head_output_sizes(k, pred_seg, pred_normal, pred_bb)
         backbone_config = _make_config(num_points, sizes)
-    _, fn = _backbone_forward(backbone_config)
+    _, fn = _backbone_forward(
+        backbone_config, k=k, pred_seg=pred_seg, pred_bb=pred_bb
+    )
     n_pts = backbone_config.num_points
     weights = jax.device_get(b_vars)
     var_spec = jax.tree.map(
@@ -127,6 +144,7 @@ def export_artifact(
         "pred_normal": pred_normal,
         "pred_bb": pred_bb,
         "output_sizes": list(backbone_config.output_sizes),
+        "assembled": True,  # programs emit eval-facing heads in-graph
         "backbone_config": dataclasses.asdict(backbone_config),
         "buckets": sorted(programs),
         "platforms": list(next(iter(programs.values())).platforms),

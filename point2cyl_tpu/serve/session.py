@@ -75,8 +75,14 @@ class InferenceSession:
                 return b
         return self._buckets[-1]
 
-    def _run_raw(self, pts: np.ndarray) -> dict[str, np.ndarray]:
-        """Run one request of arbitrary batch size; returns raw heads."""
+    def _run_raw(self, pts: np.ndarray,
+                 keys: tuple[str, ...] | None = None) -> dict[str, np.ndarray]:
+        """Run one request of arbitrary batch size.
+
+        ``keys`` selects which program outputs to fetch to the host —
+        unfetched outputs are never transferred (the device program
+        computes every output either way; the assembly heads are
+        softmax/normalize noise next to the backbone)."""
         n = pts.shape[0]
         if pts.shape[1:] != (self.num_points, 3):
             raise ValueError(
@@ -104,10 +110,10 @@ class InferenceSession:
             out = self._calls[b](self._dev_weights[d], chunk)
             pending.append((take, out))
             i += take
-        # Phase 2 — gather results back to host.
+        # Phase 2 — gather results back to host (selected keys only).
         chunks = [
             {k: np.asarray(jax.device_get(v))[:take]
-             for k, v in out.items()}
+             for k, v in out.items() if keys is None or k in keys}
             for take, out in pending
         ]
         self.stats["device_s"] += time.perf_counter() - t0
@@ -131,21 +137,30 @@ class InferenceSession:
         squeeze = pts.ndim == 2
         if squeeze:
             pts = pts[None]
-        raw = self._run_raw(pts)
+        seg_bb = bool(self.meta["pred_seg"]) and bool(self.meta["pred_bb"])
         if not assemble:
-            return {k: v[0] for k, v in raw.items()} if squeeze else raw
-        from point2cyl_tpu.train.steps import assemble_heads
+            out = self._run_raw(pts, ("x_raw", "w_raw"))
+        elif self.meta.get("assembled"):
+            # Current artifacts assemble in-graph: fetch the final heads
+            # directly — one device round-trip, no host-side dispatch.
+            keys = ("normals", "w") + (
+                ("w_barrel", "w_base") if seg_bb else ()
+            )
+            out = self._run_raw(pts, keys)
+        else:  # pre-"assembled" artifacts: assemble on the host
+            from point2cyl_tpu.train.steps import assemble_heads
 
-        heads = assemble_heads(
-            raw["x_raw"], raw["w_raw"],
-            bool(self.meta["pred_seg"]), bool(self.meta["pred_bb"]),
-            k=int(self.meta["k"]),
-        )
-        out = {"normals": np.asarray(heads.normals),
-               "w": np.asarray(heads.w)}
-        if self.meta["pred_seg"] and self.meta["pred_bb"]:
-            out["w_barrel"] = np.asarray(heads.w_barrel)
-            out["w_base"] = np.asarray(heads.w_base)
+            raw = self._run_raw(pts, ("x_raw", "w_raw"))
+            heads = assemble_heads(
+                raw["x_raw"], raw["w_raw"],
+                bool(self.meta["pred_seg"]), bool(self.meta["pred_bb"]),
+                k=int(self.meta["k"]),
+            )
+            out = {"normals": np.asarray(heads.normals),
+                   "w": np.asarray(heads.w)}
+            if seg_bb:
+                out["w_barrel"] = np.asarray(heads.w_barrel)
+                out["w_base"] = np.asarray(heads.w_base)
         if squeeze:
             out = {k: v[0] for k, v in out.items()}
         return out
@@ -156,10 +171,10 @@ class InferenceSession:
         rng = np.random.default_rng(0)
         pts = rng.standard_normal(
             (b, self.num_points, 3), dtype=np.float32)
-        self._run_raw(pts)  # warmup / compile
+        self._run_raw(pts, ("x_raw", "w_raw"))  # warmup / compile
         t0 = time.perf_counter()
         for _ in range(iters):
-            self._run_raw(pts)
+            self._run_raw(pts, ("x_raw", "w_raw"))
         dt = time.perf_counter() - t0
         return {"batch": b, "clouds_per_sec": b * iters / dt,
                 "sec_per_batch": dt / iters}
