@@ -156,11 +156,19 @@ def serve_throughput(n_points: int, batch: int) -> dict:
     device->host result fetch on every request (unlike the
     device-resident inference line)."""
     import os
+    import sys
     import tempfile
 
     from point2cyl_tpu.serve import InferenceSession
     from point2cyl_tpu.serve.export import export_artifact
 
+    def mark(msg: str) -> None:
+        # stage timing to stderr (stdout carries the JSON protocol): the
+        # remote backend can stall in export/compile — make WHERE visible
+        print(f"[serve {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
+    mark("init model")
     model = Backbone(
         BackboneConfig(num_points=n_points, output_sizes=(3, 16))
     )
@@ -172,10 +180,15 @@ def serve_throughput(n_points: int, batch: int) -> dict:
     )
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "bench.p2cx")
+        mark("export_artifact")
         export_artifact(path, variables, k=8, num_points=n_points,
                         buckets=(batch,))
+        mark("load session")
         sess = InferenceSession(path)
-        return sess.benchmark(batch, iters=5)
+        mark("benchmark (first call compiles)")
+        r = sess.benchmark(batch, iters=5)
+        mark("done")
+        return r
 
 
 def main() -> None:
@@ -223,10 +236,40 @@ def main() -> None:
         )
         return
 
-    # Training lines first; the INFERENCE line prints LAST so the
-    # driver's parsed headline metric stays clouds/sec inference. Each
-    # section is fenced: a failure in one must not cost the artifact its
-    # headline line.
+    # Section order: serve FIRST (it runs in a subprocess with its own
+    # backend connection — on the remote-TPU tunnel it must grab the chip
+    # BEFORE this parent process initializes a live session, or its first
+    # compile can queue behind the parent indefinitely; measured as the
+    # r3 900s serve timeout), then training, then the INFERENCE line LAST
+    # so the driver's parsed headline metric stays clouds/sec inference.
+    # Each section is fenced: a failure in one must not cost the artifact
+    # its headline line.
+    if not args.no_serve:
+        # Subprocess + timeout: the serving path compiles a deserialized
+        # StableHLO program and round-trips tensors every request; a
+        # remote-backend stall in there must not hang the whole bench.
+        import subprocess
+        import sys
+
+        cmd = [sys.executable, __file__, "--serve-only",
+               "--n", str(args.n), "--batch", str(args.batch)]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=900)
+            line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
+            if r.returncode == 0 and line.startswith("{"):
+                print(line, flush=True)
+            else:
+                print(json.dumps(
+                    {"metric": f"serve_session_throughput_n{args.n}",
+                     "error": (line + " | " + r.stderr[-150:])[:200]}),
+                    flush=True)
+        except subprocess.TimeoutExpired:
+            print(json.dumps(
+                {"metric": f"serve_session_throughput_n{args.n}",
+                 "error": "timeout after 900s"}), flush=True)
     if not args.no_train:
         for b in (64, 4):
             try:
@@ -262,32 +305,6 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             print(json.dumps({"metric": "joint_train_step_reference_shapes",
                               "error": str(e)[:200]}), flush=True)
-    if not args.no_serve:
-        # Subprocess + timeout: the serving path compiles a deserialized
-        # StableHLO program and round-trips tensors every request; a
-        # remote-backend stall in there must not hang the whole bench.
-        import subprocess
-        import sys
-
-        cmd = [sys.executable, __file__, "--serve-only",
-               "--n", str(args.n), "--batch", str(args.batch)]
-        if args.platform:
-            cmd += ["--platform", args.platform]
-        try:
-            r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=900)
-            line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
-            if r.returncode == 0 and line.startswith("{"):
-                print(line, flush=True)
-            else:
-                print(json.dumps(
-                    {"metric": f"serve_session_throughput_n{args.n}",
-                     "error": (line + " | " + r.stderr[-150:])[:200]}),
-                    flush=True)
-        except subprocess.TimeoutExpired:
-            print(json.dumps(
-                {"metric": f"serve_session_throughput_n{args.n}",
-                 "error": "timeout after 900s"}), flush=True)
     if args.sweep:
         for n, b in ((16384, 16), (32768, 8)):
             try:

@@ -70,10 +70,14 @@ def farthest_point_sample_pallas(
         b_tile //= 2
     while b % b_tile:
         b_tile -= 1
+    # start indices are laid out (B, 1): a (1, B) row vector blocks to
+    # (1, b_tile) whose LANE dim b_tile (e.g. 64 when B=128 tiles for
+    # VMEM) is neither 128-divisible nor full-width — Mosaic rejects it.
+    # The (b_tile, 1) sublane block is legal at every tiled batch size.
     if key is not None:
-        start = jax.random.randint(key, (1, b), 0, n, dtype=jnp.int32)
+        start = jax.random.randint(key, (b, 1), 0, n, dtype=jnp.int32)
     else:
-        start = jnp.full((1, b), start_idx, dtype=jnp.int32)
+        start = jnp.full((b, 1), start_idx, dtype=jnp.int32)
     # indices carry no gradients (the reference's FPS indices don't
     # either); stop_gradient keeps autodiff from tracing into the kernel,
     # which has no JVP rule
@@ -90,7 +94,7 @@ def farthest_point_sample_pallas(
             plane_spec,
             plane_spec,
             pl.BlockSpec(
-                (1, b_tile), lambda bi: (0, bi), memory_space=pltpu.VMEM
+                (b_tile, 1), lambda bi: (bi, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
