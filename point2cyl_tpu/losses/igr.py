@@ -36,6 +36,7 @@ def igr_losses(
     eikonal_weight: float = 0.1,
     normals_weight: float = 1.0,
     off_pts: jax.Array | None = None,
+    chunk_size: int | None = None,
 ) -> IGRLosses:
     """Implicit-surface fitting losses over per-instance sketches.
 
@@ -48,36 +49,68 @@ def igr_losses(
       off_pts: optional precomputed off-surface samples (B*K, S', 2);
         when None they are drawn from ``key`` (parity tests inject the
         reference sampler's points here to share randomness).
+      chunk_size: when set (and < B*K), stream the B*K instance axis
+        through ``lax.map`` in chunks of this size with a rematerialized
+        (``jax.checkpoint``) body. Per-instance losses are independent, so
+        this is exact — same values and gradients — while peak activation
+        memory for the grad-of-grad eikonal/SALD terms drops from
+        O(B*K*S*width) to O(chunk*S*width). This is what lets the IGR
+        pretrain (``train_Point2Cyl.py:608-648`` shapes: B=16, K=8,
+        S=2048, 8x512 MLP) fit a single v5e chip's HBM.
 
     Returns scalar losses: total = manifold + w_e * eikonal + w_n * SALD
     (``train_Point2Cyl.py:630-648``).
     """
     b, k, s, _ = sk_pts.shape
-    pts = sk_pts.reshape(b * k, s, 2)
-    lat = latents.reshape(b * k, -1)
-    normals = sk_normals.reshape(b * k, s, 2)
+    m = b * k
+    pts = sk_pts.reshape(m, s, 2)
+    lat = latents.reshape(m, -1)
+    normals = sk_normals.reshape(m, s, 2)
     if off_pts is None:
         off_pts = sample_off_surface(key, pts)
 
     def sdf_sum(p, l):
         return jnp.sum(sdf_fn(add_latent(p, l)))
 
-    sk_pred = sdf_fn(add_latent(pts, lat))  # (B*K, S, 1)
-    mnfld_grad = jax.grad(sdf_sum)(pts, lat)
-    off_grad = jax.grad(sdf_sum)(off_pts, lat)
+    def per_instance(args):
+        """(c, S, 2) x (c, L) x (c, S, 2) x (c, S', 2) -> three (c,)
+        per-instance loss vectors."""
+        p, l, n, o = args
+        sk_pred = sdf_fn(add_latent(p, l))  # (c, S, 1)
+        mnfld_grad = jax.grad(sdf_sum)(p, l)
+        off_grad = jax.grad(sdf_sum)(o, l)
 
-    mnfld = jnp.mean(jnp.abs(sk_pred[..., 0]), axis=-1).reshape(b, k)
-    mnfld_loss = jnp.mean(reduce_mean_masked_instance(mnfld, mask_gt))
+        mnfld = jnp.mean(jnp.abs(sk_pred[..., 0]), axis=-1)
+        grad_norm = jnp.linalg.norm(off_grad, axis=-1)
+        eik = jnp.mean((grad_norm - 1.0) ** 2, axis=-1)
+        # SALD: unsigned normal agreement min(|g - n|, |g + n|)
+        sub = jnp.linalg.norm(mnfld_grad - n, axis=-1)
+        add = jnp.linalg.norm(mnfld_grad + n, axis=-1)
+        sald = jnp.mean(jnp.minimum(sub, add), axis=-1)
+        return mnfld, eik, sald
 
-    grad_norm = jnp.linalg.norm(off_grad, axis=-1)
-    eik = jnp.mean((grad_norm - 1.0) ** 2, axis=-1).reshape(b, k)
-    eik_loss = jnp.mean(reduce_mean_masked_instance(eik, mask_gt))
+    if chunk_size is None or chunk_size >= m:
+        mnfld, eik, sald = per_instance((pts, lat, normals, off_pts))
+    else:
+        c = max(int(chunk_size), 1)
+        while m % c:  # largest divisor of M not above the request
+            c -= 1
+        xs = tuple(
+            a.reshape(m // c, c, *a.shape[1:])
+            for a in (pts, lat, normals, off_pts)
+        )
+        mnfld, eik, sald = jax.lax.map(jax.checkpoint(per_instance), xs)
+        mnfld, eik, sald = (a.reshape(m) for a in (mnfld, eik, sald))
 
-    # SALD: unsigned normal agreement min(|g - n|, |g + n|)
-    sub = jnp.linalg.norm(mnfld_grad - normals, axis=-1)
-    add = jnp.linalg.norm(mnfld_grad + normals, axis=-1)
-    sald = jnp.mean(jnp.minimum(sub, add), axis=-1).reshape(b, k)
-    sald_loss = jnp.mean(reduce_mean_masked_instance(sald, mask_gt))
+    mnfld_loss = jnp.mean(
+        reduce_mean_masked_instance(mnfld.reshape(b, k), mask_gt)
+    )
+    eik_loss = jnp.mean(
+        reduce_mean_masked_instance(eik.reshape(b, k), mask_gt)
+    )
+    sald_loss = jnp.mean(
+        reduce_mean_masked_instance(sald.reshape(b, k), mask_gt)
+    )
 
     total = mnfld_loss + eikonal_weight * eik_loss + normals_weight * sald_loss
     return IGRLosses(total, mnfld_loss, eik_loss, sald_loss)

@@ -79,6 +79,17 @@ def build_nets(cfg: TrainConfig, num_points: int, k: int,
     return backbone, implicit, encoder, loaded_encoder
 
 
+def resolve_igr_chunk(flag: int, m: int) -> int | None:
+    """--igr_chunk policy: <0 never chunk, 0 auto (chunk of 32 once the
+    B*K instance axis exceeds 32 — the largest shape measured to fit the
+    grad-of-grad terms comfortably in v5e HBM), >0 explicit size."""
+    if flag < 0:
+        return None
+    if flag == 0:
+        return 32 if m > 32 else None
+    return flag
+
+
 def make_joint_optimizer(cfg: TrainConfig, is_pc_train: bool,
                          is_im_train: bool):
     """Per-net learning rates with freeze masks
@@ -112,6 +123,7 @@ def make_joint_train_step(
     with_im_loss: bool,
     is_l2: bool,
     use_gt_im: bool,
+    igr_chunk: int | None = None,
 ):
     """One XLA program: proxy losses + latent encoding + IGR losses +
     masked adam update (``train_Point2Cyl.py:405-713``)."""
@@ -226,6 +238,7 @@ def make_joint_train_step(
                     mask_gt,
                     eikonal_weight=cfg.weights.igr_eikonal,
                     normals_weight=cfg.weights.igr_normal,
+                    chunk_size=igr_chunk,
                 )
                 im_total = igr.total
                 aux = dict(
@@ -265,7 +278,7 @@ def make_joint_train_step(
     return train_step
 
 
-def make_im_pretrain_step(implicit, encoder, tx):
+def make_im_pretrain_step(implicit, encoder, tx, igr_chunk=None):
     """IGR pretraining: encoder + implicit decoder on GT sketches only
     (the provenance of results/IGR_dense)."""
 
@@ -289,7 +302,8 @@ def make_im_pretrain_step(implicit, encoder, tx):
                 return implicit.apply({"params": p["im"]}, x)
 
             igr = igr_losses(
-                sdf_fn, key, sk[..., :2], sk[..., 2:], latents, mask_gt
+                sdf_fn, key, sk[..., :2], sk[..., 2:], latents, mask_gt,
+                chunk_size=igr_chunk,
             )
             return igr.total, (igr, enc_mut["batch_stats"])
 
@@ -386,6 +400,11 @@ def build_argparser() -> argparse.ArgumentParser:
     # TPU-framework extensions
     p.add_argument("--pretrain_im", action="store_true",
                    help="IGR pretraining: encoder+implicit on GT sketches")
+    p.add_argument("--igr_chunk", type=int, default=0,
+                   help="stream the IGR grad-of-grad terms over the B*K "
+                   "instance axis in chunks of this size (remat'd, exact; "
+                   "bounds HBM). 0 = auto (chunk to 32 when B*K > 32); "
+                   "negative = never chunk")
     p.add_argument("--resume", action="store_true",
                    help="restore the full JointTrainState from "
                    "<logdir>/model and continue")
@@ -470,7 +489,12 @@ def cli_main() -> None:
         params = {"im": im_vars["params"], "enc": enc_vars["params"]}
         bn = enc_vars["batch_stats"]
         opt_state = tx.init(params)
-        step_fn = make_im_pretrain_step(implicit, encoder, tx)
+        step_fn = make_im_pretrain_step(
+            implicit, encoder, tx,
+            igr_chunk=resolve_igr_chunk(
+                args.igr_chunk, args.batch_size * args.K
+            ),
+        )
         for epoch in range(1, cfg.num_epochs + 1):
             t0 = time.time()
             key, k_epoch = jax.random.split(key)
@@ -574,6 +598,7 @@ def cli_main() -> None:
         is_pc_train=args.is_pc_train, is_im_train=args.is_im_train,
         with_im_loss=args.with_im_loss, is_l2=args.is_L2,
         use_gt_im=args.use_gt_im,
+        igr_chunk=resolve_igr_chunk(args.igr_chunk, args.batch_size * args.K),
     )
     best_loss = float("inf")
     steps_per_epoch = max(pipeline.num_samples // cfg.batch_size, 1)

@@ -114,6 +114,54 @@ def test_im_pretraining_decreases_loss():
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_igr_chunked_matches_unchunked():
+    """chunk_size streams the instance axis exactly: same losses AND same
+    first/second-order gradients as the unchunked path (the remat'd
+    lax.map body rematerializes, never approximates)."""
+    implicit = TJ.ImplicitNet(d_in=2 + 8, hidden=(16,) * 5, skip_in=(2,))
+    im_vars = implicit.init(jax.random.key(0), jnp.zeros((1, 10)))
+    rng = np.random.default_rng(7)
+    b, k, s = 2, 3, 16
+    sk_pts = jnp.asarray(rng.normal(size=(b, k, s, 2)), jnp.float32)
+    sk_nrm = jnp.asarray(rng.normal(size=(b, k, s, 2)), jnp.float32)
+    latents = jnp.asarray(rng.normal(size=(b, k, 8)), jnp.float32)
+    mask = jnp.asarray([[1, 1, 0], [1, 0, 0]], bool)
+    key = jax.random.key(3)
+
+    def total(params, lat, chunk):
+        def sdf_fn(x):
+            return implicit.apply({"params": params}, x)
+
+        return igr_losses(
+            sdf_fn, key, sk_pts, sk_nrm, lat, mask, chunk_size=chunk
+        ).total
+
+    for chunk in (1, 2, 3, 4):
+        v0, (g_im0, g_lat0) = jax.value_and_grad(total, argnums=(0, 1))(
+            im_vars["params"], latents, None
+        )
+        v1, (g_im1, g_lat1) = jax.value_and_grad(total, argnums=(0, 1))(
+            im_vars["params"], latents, chunk
+        )
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+        # gradients recompute chunk-by-chunk (different fusion/summation
+        # order than the one-shot reduction) -> float reassociation noise
+        np.testing.assert_allclose(
+            np.asarray(g_lat0), np.asarray(g_lat1), rtol=5e-4, atol=1e-5
+        )
+        for a, c in zip(jax.tree.leaves(g_im0), jax.tree.leaves(g_im1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=5e-4, atol=1e-5
+            )
+
+
+def test_resolve_igr_chunk_policy():
+    assert TJ.resolve_igr_chunk(-1, 128) is None
+    assert TJ.resolve_igr_chunk(0, 32) is None
+    assert TJ.resolve_igr_chunk(0, 128) == 32
+    assert TJ.resolve_igr_chunk(16, 128) == 16
+
+
 def test_latent_loss_modes():
     lat = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 8)))
     lat = lat / jnp.linalg.norm(lat, axis=-1, keepdims=True)
