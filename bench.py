@@ -150,17 +150,25 @@ def joint_step_seconds(steps_n: int = 10) -> float:
 
 
 def serve_throughput(n_points: int, batch: int) -> dict:
-    """AOT serving-session throughput: export a fresh-init ``.p2cx``
-    artifact and drive :class:`InferenceSession.benchmark` — the full
-    serving path, including the host->device input copy and the
-    device->host result fetch on every request (unlike the
-    device-resident inference line)."""
+    """AOT decomposition-serving throughput: export a ``.p2cx`` artifact
+    whose programs emit the O(K) extrusion-cylinder outputs in-graph
+    (axes/centers/extents/scales/found/latents — ``eval.py:348-543``
+    scope) and drive :class:`InferenceSession.benchmark` fetching those
+    keys per request.
+
+    Inputs are staged device-resident (``staged=True``): the line
+    measures the chip's serving rate — device compute plus the O(K)
+    result fetch — not the dev-tunnel's host->device input bandwidth
+    (~14 MB/s, which would cap ANY N=8192 serving at ~140 clouds/s
+    regardless of the chip; on locally attached TPUs the same input
+    upload is ~0.1 ms/batch of PCIe)."""
     import os
     import sys
     import tempfile
 
+    from point2cyl_tpu.models.implicit import PointNetEncoder
     from point2cyl_tpu.serve import InferenceSession
-    from point2cyl_tpu.serve.export import export_artifact
+    from point2cyl_tpu.serve.export import DECOMP_KEYS, export_artifact
 
     def mark(msg: str) -> None:
         # stage timing to stderr (stdout carries the JSON protocol): the
@@ -178,15 +186,18 @@ def serve_throughput(n_points: int, batch: int) -> dict:
         jnp.zeros((1, n_points, 3)),
         train=False,
     )
+    encoder = PointNetEncoder(256, 2, with_normals=True)
+    enc_vars = encoder.init(key, jnp.zeros((1, 16, 4)), train=False)
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "bench.p2cx")
-        mark("export_artifact")
+        mark("export_artifact (decomposition)")
         export_artifact(path, variables, k=8, num_points=n_points,
-                        buckets=(batch,))
+                        buckets=(batch,), num_sk_points=2048,
+                        enc_vars=enc_vars)
         mark("load session")
         sess = InferenceSession(path)
         mark("benchmark (first call compiles)")
-        r = sess.benchmark(batch, iters=5)
+        r = sess.benchmark(batch, iters=10, keys=DECOMP_KEYS, staged=True)
         mark("done")
         return r
 
@@ -262,9 +273,17 @@ def main() -> None:
             if r.returncode == 0 and line.startswith("{"):
                 print(line, flush=True)
             else:
+                # surface the exception line, not a raw stderr byte-tail
+                # (mark() lines and JAX warnings otherwise drown it)
+                err_lines = [
+                    ln for ln in r.stderr.strip().splitlines()
+                    if ln and not ln.startswith((" ", "[serve", "WARNING",
+                                                 "I0000"))
+                ]
+                err = err_lines[-1] if err_lines else r.stderr[-150:]
                 print(json.dumps(
                     {"metric": f"serve_session_throughput_n{args.n}",
-                     "error": (line + " | " + r.stderr[-150:])[:200]}),
+                     "error": (line + " | " + err)[:200]}),
                     flush=True)
         except subprocess.TimeoutExpired:
             print(json.dumps(

@@ -52,20 +52,108 @@ def _make_config(num_points: int, output_sizes: tuple[int, ...],
     return BackboneConfig(**d)
 
 
-def _backbone_forward(config, *, k=None, pred_seg=True, pred_bb=True):
+DECOMP_KEYS = (
+    "axes", "centers", "extents", "scales", "found", "latents"
+)
+DECOMP_POINT_KEYS = ("labels", "bb_labels")
+
+
+def _decomposition(heads, points, num_sk_points: int, encoder=None,
+                   enc_vars=None):
+    """GT-free post-backbone decomposition: the eval pipeline's
+    axes/centers/extents/latent stages (``eval.py:348-543``) WITHOUT the
+    oracle substitutions or the Hungarian reorder (both need GT) — a
+    serving client gets O(K) extrusion-cylinder parameters per cloud
+    instead of per-point head tensors.
+
+    Instance slots are the raw K segmentation columns; ``found`` marks
+    slots that are non-null (soft mass >= 0.005*N, ``losses.py:55``) and
+    have >= 2 barrel members (``data_utils.py:1055-1058``). Segment
+    sampling uses the deterministic ``key=None`` draw so serving is
+    reproducible (same request -> same response); the randomized sampler
+    remains an eval/A-B concern.
+    """
+    import jax.numpy as jnp
+
+    from point2cyl_tpu.eval.metrics import (base_barrel_probs,
+                                             hard_segment_centers)
+    from point2cyl_tpu.ops.geometry import (extrusion_extents,
+                                             sketch_projection)
+    from point2cyl_tpu.ops.linalg import estimate_extrusion_axis
+    from point2cyl_tpu.ops.matching import hard_w_encoding
+
+    w_hard = hard_w_encoding(heads.w, to_null_mask=True)  # (B, N, K)
+    col_valid = jnp.sum(w_hard, axis=1) > 0  # (B, K) non-null columns
+    # per-point labels: null columns suppressed before the argmax
+    # (eval.py:322-326 semantics, minus the GT reorder)
+    w_lab = jnp.where(col_valid[:, None, :], heads.w, -1.0)
+    labels = jnp.argmax(w_lab, axis=-1)  # (B, N)
+    bb_labels = jnp.argmax(base_barrel_probs(heads.w_2k), axis=-1)
+
+    axes = estimate_extrusion_axis(
+        heads.normals, heads.w_barrel, heads.w_base
+    )  # (B, K, 3), eval.py:397 full-prediction branch
+    centers, _ = hard_segment_centers(points, w_hard)  # eval.py:409-436
+    extents, _ = extrusion_extents(
+        None, points, labels, bb_labels, axes, centers,
+        num_samples=num_sk_points,
+    )  # eval.py:456
+    p2d, n2d, scales, found_p = sketch_projection(
+        None, points, heads.normals, labels, bb_labels, axes, centers,
+        num_samples=num_sk_points,
+    )  # eval.py:498 pred branch
+    out = {
+        "axes": axes,
+        "centers": centers,
+        "extents": extents,
+        "scales": scales,
+        "found": col_valid & found_p,
+        "labels": labels.astype(jnp.int8),  # K <= 8 and {0,1}: int8
+        "bb_labels": bb_labels.astype(jnp.int8),  # halves the transfer
+    }
+    if encoder is not None:
+        b, k = scales.shape
+        p2d_n = p2d / scales[..., None, None]
+        enc_in = jnp.concatenate([p2d_n, n2d], axis=-1).reshape(
+            b * k, num_sk_points, 4
+        )
+        out["latents"] = encoder.apply(
+            enc_vars, enc_in, train=False
+        ).reshape(b, k, -1)  # eval.py:463-543 latent extraction
+    return out
+
+
+def _backbone_forward(config, *, k=None, pred_seg=True, pred_bb=True,
+                      num_sk_points=None, encoder_latent=None):
     """Model + serving forward. With ``k`` given, the program also emits
     the assembled eval-facing heads (normalized ``normals``, softmaxed
     ``w`` and, with the bb head, ``w_barrel``/``w_base``) so a session
     fetches final quantities in ONE device round-trip — the session only
-    transfers the keys the caller asked for."""
+    transfers the keys the caller asked for.
+
+    With ``num_sk_points`` given (and both seg+bb heads), the program
+    additionally emits the O(K) decomposition outputs (axes, centers,
+    extents, scales, found, latents, int8 labels) — see
+    :func:`_decomposition`. The weights pytree then becomes
+    ``{"backbone": ..., "encoder": ...}`` ("encoder" only when
+    ``encoder_latent`` is set)."""
     from point2cyl_tpu.models.backbone import Backbone
 
     model = Backbone(config)
+    decomp = num_sk_points is not None
+    if decomp and not (pred_seg and pred_bb and k):
+        raise ValueError("decomposition export needs seg+bb heads and k")
+    encoder = None
+    if decomp and encoder_latent:
+        from point2cyl_tpu.models.implicit import PointNetEncoder
+
+        encoder = PointNetEncoder(encoder_latent, 2, with_normals=True)
 
     def fn(variables, points):
         from point2cyl_tpu.train.steps import assemble_heads
 
-        x_raw, w_raw = model.apply(variables, points, train=False)
+        b_vars = variables["backbone"] if decomp else variables
+        x_raw, w_raw = model.apply(b_vars, points, train=False)
         out = {"x_raw": x_raw, "w_raw": w_raw}
         if k is not None:
             heads = assemble_heads(x_raw, w_raw, pred_seg, pred_bb, k=k)
@@ -74,6 +162,11 @@ def _backbone_forward(config, *, k=None, pred_seg=True, pred_bb=True):
             if pred_seg and pred_bb:
                 out["w_barrel"] = heads.w_barrel
                 out["w_base"] = heads.w_base
+        if decomp:
+            out.update(_decomposition(
+                heads, points, num_sk_points, encoder=encoder,
+                enc_vars=variables.get("encoder"),
+            ))
         return out
 
     return model, fn
@@ -106,23 +199,35 @@ def export_artifact(
     pred_bb: bool = True,
     buckets: Sequence[int] = (1, 4, 16, 64),
     platforms: Sequence[str] | None = None,
+    num_sk_points: int | None = None,
+    enc_vars: Mapping[str, Any] | None = None,
+    encoder_latent: int = 256,
 ) -> dict:
     """Lower the backbone forward at each batch bucket and write a
     ``.p2cx`` artifact. Returns the metadata dict.
 
     Pass either ``num_points`` (reference-default stage geometry) or a
-    full ``backbone_config``.
+    full ``backbone_config``. With ``num_sk_points`` the programs also
+    emit the O(K) decomposition outputs (plus per-instance sketch latents
+    when ``enc_vars`` carries a trained :class:`PointNetEncoder`).
     """
     if backbone_config is None:
         if num_points is None:
             raise ValueError("need num_points or backbone_config")
         sizes = head_output_sizes(k, pred_seg, pred_normal, pred_bb)
         backbone_config = _make_config(num_points, sizes)
+    decomp = num_sk_points is not None
     _, fn = _backbone_forward(
-        backbone_config, k=k, pred_seg=pred_seg, pred_bb=pred_bb
+        backbone_config, k=k, pred_seg=pred_seg, pred_bb=pred_bb,
+        num_sk_points=num_sk_points,
+        encoder_latent=encoder_latent if enc_vars is not None else None,
     )
     n_pts = backbone_config.num_points
     weights = jax.device_get(b_vars)
+    if decomp:
+        weights = {"backbone": weights}
+        if enc_vars is not None:
+            weights["encoder"] = jax.device_get(enc_vars)
     var_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.asarray(a).dtype),
         weights,
@@ -145,6 +250,12 @@ def export_artifact(
         "pred_bb": pred_bb,
         "output_sizes": list(backbone_config.output_sizes),
         "assembled": True,  # programs emit eval-facing heads in-graph
+        # decomposition: programs emit O(K) cylinder params in-graph
+        # (axes/centers/extents/scales/found[/latents] + int8 labels)
+        "decomposition": decomp,
+        "num_sk_points": num_sk_points,
+        "with_latents": decomp and enc_vars is not None,
+        "latent_size": encoder_latent if enc_vars is not None else None,
         "backbone_config": dataclasses.asdict(backbone_config),
         "buckets": sorted(programs),
         "platforms": list(next(iter(programs.values())).platforms),
@@ -216,6 +327,32 @@ def restore_backbone_from_logdir(
     return b_vars, False
 
 
+def restore_encoder_from_logdir(
+    im_logdir: str, *, latent: int = 256
+):
+    """Restore PointNetEncoder variables from an IGR-pretrain / joint
+    logdir ({params: {im, enc}, bn} layout under ``model`` or
+    ``im_model``). Returns (enc_vars, restored_bool)."""
+    from point2cyl_tpu.core.checkpoint import (CheckpointManager,
+                                                restore_im_vars)
+    from point2cyl_tpu.models.implicit import ImplicitNet, PointNetEncoder
+
+    implicit = ImplicitNet(d_in=2 + latent)
+    encoder = PointNetEncoder(latent, 2, with_normals=True)
+    key = jax.random.key(0)
+    im_vars = implicit.init(key, jnp.zeros((1, 2 + latent)))
+    enc_vars = encoder.init(key, jnp.zeros((1, 16, 4)), train=False)
+    mgr = CheckpointManager(im_logdir)
+    for name in ("model", "im_model"):
+        loaded = restore_im_vars(
+            mgr, name, im_vars["params"], enc_vars["params"],
+            enc_vars["batch_stats"],
+        )
+        if loaded is not None:
+            return {"params": loaded[1], "batch_stats": loaded[2]}, True
+    return enc_vars, False
+
+
 def build_argparser():
     import argparse
 
@@ -233,6 +370,15 @@ def build_argparser():
     p.add_argument("--pred_seg", action="store_false")
     p.add_argument("--pred_normal", action="store_false")
     p.add_argument("--pred_bb", action="store_false")
+    p.add_argument("--num_sk_point", type=int, default=2048,
+                   help="sketch samples per instance for the in-graph "
+                   "decomposition outputs")
+    p.add_argument("--no_decomp", action="store_true",
+                   help="export per-point heads only (no O(K) "
+                   "decomposition outputs)")
+    p.add_argument("--im_logdir", type=str, default=None,
+                   help="IGR/joint logdir to restore the sketch encoder "
+                   "from; adds per-instance latents to the decomposition")
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 4, 16, 64])
     p.add_argument(
         "--platforms", type=str, nargs="+", default=None,
@@ -255,11 +401,24 @@ def cli_main() -> None:
     )
     print("Restored backbone" if restored
           else "WARNING: no checkpoint found — exporting fresh init")
+    decomp = not args.no_decomp and args.pred_seg and args.pred_bb
+    enc_vars = None
+    if decomp and args.im_logdir:
+        enc_vars, enc_restored = restore_encoder_from_logdir(
+            args.im_logdir
+        )
+        print("Restored sketch encoder" if enc_restored
+              else f"WARNING: no encoder checkpoint in {args.im_logdir} "
+              "— exporting without latents")
+        if not enc_restored:
+            enc_vars = None
     meta = export_artifact(
         args.out, b_vars, num_points=args.num_point, k=args.K,
         pred_seg=args.pred_seg, pred_normal=args.pred_normal,
         pred_bb=args.pred_bb, buckets=args.buckets,
         platforms=args.platforms,
+        num_sk_points=args.num_sk_point if decomp else None,
+        enc_vars=enc_vars,
     )
     import os
 

@@ -165,16 +165,76 @@ class InferenceSession:
             out = {k: v[0] for k, v in out.items()}
         return out
 
-    def benchmark(self, batch: int | None = None, iters: int = 20) -> dict:
-        """Steady-state clouds/sec through the session at one bucket."""
+    def decompose(self, points: Any, include_labels: bool = True) -> dict:
+        """Serve extrusion-cylinder decompositions: O(K) floats per cloud
+        (axes, centers, extents, scales, found, latents when exported
+        with an encoder) plus optional int8 per-point labels/bb_labels.
+
+        This is the production serving surface — a client gets cylinders,
+        not per-point head tensors (the eval pipeline's post-backbone
+        stages ``eval.py:348-543``, computed in-graph on device).
+        Requires an artifact exported with decomposition outputs.
+        """
+        if not self.meta.get("decomposition"):
+            raise ValueError(
+                "artifact was exported without decomposition outputs "
+                "(re-export without --no_decomp)"
+            )
+        pts = np.asarray(points, np.float32)
+        squeeze = pts.ndim == 2
+        if squeeze:
+            pts = pts[None]
+        keys = ("axes", "centers", "extents", "scales", "found")
+        if self.meta.get("with_latents"):
+            keys += ("latents",)
+        if include_labels:
+            keys += ("labels", "bb_labels")
+        out = self._run_raw(pts, keys)
+        if squeeze:
+            out = {k: v[0] for k, v in out.items()}
+        return out
+
+    def benchmark(self, batch: int | None = None, iters: int = 20,
+                  keys: tuple[str, ...] = ("x_raw", "w_raw"),
+                  staged: bool = False) -> dict:
+        """Steady-state clouds/sec through the session at one bucket.
+
+        ``keys`` selects which outputs are fetched per request (e.g. the
+        O(K) decomposition keys). With ``staged=True`` the input batch is
+        placed on each serving device ONCE and iterations reuse it —
+        measuring the chip's serving rate (compute + output transfer)
+        rather than the host->device input link. On locally attached TPUs
+        input upload is ~0.1 ms/batch of PCIe; over the remote-tunnel dev
+        backend it would otherwise dominate every other cost (NOTES.md).
+        """
         b = batch or self._buckets[-1]
         rng = np.random.default_rng(0)
         pts = rng.standard_normal(
             (b, self.num_points, 3), dtype=np.float32)
-        self._run_raw(pts, ("x_raw", "w_raw"))  # warmup / compile
+        if staged:
+            dev_pts = [
+                pts if d is None else jax.device_put(pts, d)
+                for d in self._devices
+            ]
+            call = self._calls[self._bucket_for(b)]
+
+            def once():
+                d = self._next_dev
+                self._next_dev = (d + 1) % len(self._devices)
+                out = call(self._dev_weights[d], dev_pts[d])
+                return {
+                    k: np.asarray(jax.device_get(v))
+                    for k, v in out.items() if k in keys
+                }
+        else:
+            def once():
+                return self._run_raw(pts, keys)
+
+        once()  # warmup / compile
         t0 = time.perf_counter()
         for _ in range(iters):
-            self._run_raw(pts, ("x_raw", "w_raw"))
+            once()
         dt = time.perf_counter() - t0
         return {"batch": b, "clouds_per_sec": b * iters / dt,
-                "sec_per_batch": dt / iters}
+                "sec_per_batch": dt / iters, "keys": list(keys),
+                "staged": staged}

@@ -167,6 +167,148 @@ def test_export_cli_has_platform_flag():
     assert any("--platform" in a.option_strings for a in actions)
 
 
+SK = 64  # sketch samples for decomposition tests
+
+
+@pytest.fixture(scope="module")
+def decomp_artifact(tmp_path_factory):
+    from point2cyl_tpu.models.implicit import PointNetEncoder
+
+    model = Backbone(CFG)
+    pts0 = jnp.zeros((1, CFG.num_points, 3))
+    key = jax.random.key(7)
+    b_vars = model.init(
+        {"params": key, "sample": key, "dropout": key}, pts0, train=False
+    )
+    encoder = PointNetEncoder(32, 2, with_normals=True)
+    enc_vars = encoder.init(key, jnp.zeros((1, SK, 4)), train=False)
+    path = str(tmp_path_factory.mktemp("serve") / "decomp.p2cx")
+    meta = export_artifact(
+        path, b_vars, k=K, backbone_config=CFG, buckets=(2,),
+        num_sk_points=SK, enc_vars=enc_vars, encoder_latent=32,
+    )
+    return path, meta, model, b_vars, encoder, enc_vars
+
+
+def _oracle_decomposition(model, b_vars, encoder, enc_vars, pts):
+    """Independent eval-path computation of the decomposition outputs
+    (the same library ops the evaluator composes, eval.py:348-543)."""
+    from point2cyl_tpu.eval.metrics import (base_barrel_probs,
+                                             hard_segment_centers)
+    from point2cyl_tpu.ops.geometry import (extrusion_extents,
+                                             sketch_projection)
+    from point2cyl_tpu.ops.linalg import estimate_extrusion_axis
+    from point2cyl_tpu.ops.matching import hard_w_encoding
+
+    @jax.jit
+    def run(b_vars, enc_vars, pts):
+        x_raw, w_raw = model.apply(b_vars, pts, train=False)
+        heads = assemble_heads(x_raw, w_raw, True, True, k=K)
+        w_hard = hard_w_encoding(heads.w, to_null_mask=True)
+        col_valid = jnp.sum(w_hard, axis=1) > 0
+        labels = jnp.argmax(
+            jnp.where(col_valid[:, None, :], heads.w, -1.0), axis=-1
+        )
+        bb = jnp.argmax(base_barrel_probs(heads.w_2k), axis=-1)
+        axes = estimate_extrusion_axis(
+            heads.normals, heads.w_barrel, heads.w_base
+        )
+        centers, _ = hard_segment_centers(pts, w_hard)
+        extents, _ = extrusion_extents(
+            None, pts, labels, bb, axes, centers, num_samples=SK
+        )
+        p2d, n2d, scales, found_p = sketch_projection(
+            None, pts, heads.normals, labels, bb, axes, centers,
+            num_samples=SK,
+        )
+        enc_in = jnp.concatenate(
+            [p2d / scales[..., None, None], n2d], axis=-1
+        ).reshape(pts.shape[0] * K, SK, 4)
+        latents = encoder.apply(enc_vars, enc_in, train=False).reshape(
+            pts.shape[0], K, -1
+        )
+        return {
+            "axes": axes, "centers": centers, "extents": extents,
+            "scales": scales, "found": col_valid & found_p,
+            "labels": labels, "bb_labels": bb, "latents": latents,
+        }
+
+    return {k: np.asarray(v) for k, v in run(b_vars, enc_vars, pts).items()}
+
+
+def test_decompose_matches_eval_path(decomp_artifact):
+    """The served decomposition must equal the eval-path library ops
+    computed independently on the same inputs — bitwise at equal batch
+    shape (same platform, same XLA program)."""
+    path, meta, model, b_vars, encoder, enc_vars = decomp_artifact
+    assert meta["decomposition"] and meta["with_latents"]
+    sess = InferenceSession(path)
+    pts = RNG.normal(size=(2, CFG.num_points, 3)).astype(np.float32)
+    got = sess.decompose(pts)
+    want = _oracle_decomposition(
+        model, b_vars, encoder, enc_vars, jnp.asarray(pts)
+    )
+    np.testing.assert_array_equal(got["labels"], want["labels"])
+    np.testing.assert_array_equal(got["bb_labels"], want["bb_labels"])
+    np.testing.assert_array_equal(got["found"], want["found"])
+    for key in ("axes", "centers", "extents", "scales", "latents"):
+        np.testing.assert_array_equal(got[key], np.asarray(want[key]), key)
+    assert got["labels"].dtype == np.int8
+    assert got["axes"].shape == (2, K, 3)
+    assert got["latents"].shape == (2, K, 32)
+    # single-cloud convenience
+    one = sess.decompose(pts[0])
+    assert one["axes"].shape == (K, 3)
+
+
+def test_decompose_padding_rows_do_not_perturb(decomp_artifact):
+    """n=1 into the b=2 bucket: the zero-pad row rides along; the real
+    row's decomposition must match the unpadded oracle to float noise."""
+    path, _, model, b_vars, encoder, enc_vars = decomp_artifact
+    sess = InferenceSession(path)
+    pts = RNG.normal(size=(1, CFG.num_points, 3)).astype(np.float32)
+    got = sess.decompose(pts)
+    assert got["axes"].shape == (1, K, 3)
+    want = _oracle_decomposition(
+        model, b_vars, encoder, enc_vars, jnp.asarray(pts)
+    )
+    np.testing.assert_array_equal(got["labels"], want["labels"])
+    np.testing.assert_allclose(got["axes"], want["axes"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got["scales"], want["scales"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_decompose_requires_decomposition_artifact(artifact):
+    path, _, _, _ = artifact
+    sess = InferenceSession(path)
+    pts = RNG.normal(size=(1, CFG.num_points, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="decomposition"):
+        sess.decompose(pts)
+
+
+def test_decomp_artifact_still_serves_heads(decomp_artifact):
+    """Decomposition artifacts keep the per-point head surface intact."""
+    path, _, model, b_vars, _, _ = decomp_artifact
+    sess = InferenceSession(path)
+    pts = RNG.normal(size=(2, CFG.num_points, 3)).astype(np.float32)
+    got = sess.predict(pts)
+    x_raw, w_raw = _jit_apply(model)(b_vars, jnp.asarray(pts))
+    heads = assemble_heads(x_raw, w_raw, True, True, k=K)
+    np.testing.assert_allclose(got["normals"], np.asarray(heads.normals),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_benchmark_staged_decomp_keys(decomp_artifact):
+    from point2cyl_tpu.serve.export import DECOMP_KEYS
+
+    path, _, _, _, _, _ = decomp_artifact
+    sess = InferenceSession(path)
+    r = sess.benchmark(batch=2, iters=2, keys=DECOMP_KEYS, staged=True)
+    assert r["staged"] and r["clouds_per_sec"] > 0
+    assert "latents" in r["keys"]
+
+
 def test_multidevice_session_matches_single(artifact):
     """devices=all 8 virtual CPU devices: round-robin chunk dispatch must
     reproduce the single-device session bitwise (same executables, same
