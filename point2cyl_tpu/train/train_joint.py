@@ -352,6 +352,74 @@ def init_joint_state(
     )
 
 
+def staged_init_restore(
+    state: JointTrainState,
+    cfg: TrainConfig,
+    is_pc_init: bool,
+    pc_logdir: str,
+    pc_ckpt_name: str,
+    is_im_init: bool,
+    im_logdir: str,
+    im_ckpt_name: str,
+    log=print,
+) -> JointTrainState:
+    """The staged-recipe initialization (``train_Point2Cyl.py:329-344``):
+    trainer-A backbone into pc_*, IGR-pretrain decoder+encoder into
+    im_*/loaded_enc_*, and — with ``is_im_init`` — the same pretrained
+    encoder into the TRAINABLE enc_* slots.
+
+    The trainable copy is materialized as SEPARATE buffers
+    (``jax.tree.map(jnp.array, ...)``): orbax restores to committed
+    device arrays, so assigning one restored tree to both ``enc_*`` and
+    ``loaded_enc_*`` would put the same buffer behind two pytree leaves
+    of the donated train step (donate_argnums=0), which the TPU runtime
+    rejects with an opaque async INVALID_ARGUMENT at the first step (the
+    round-4 joint_b4 crash; the 1-device ``replicate()`` re-put preserves
+    the aliasing). ``tests/test_train_joint.py`` pins the no-alias
+    invariant.
+    """
+    if is_pc_init:
+        pc_mgr = CheckpointManager(pc_logdir)
+        from point2cyl_tpu.train import steps as S
+
+        pc_tx = S.make_optimizer(cfg)
+        template = S.TrainState(
+            params=state.pc_params, batch_stats=state.pc_bn,
+            opt_state=pc_tx.init(state.pc_params), step=jnp.int32(0),
+        )
+        loaded = pc_mgr.restore(pc_ckpt_name, template)
+        state = state.replace(
+            pc_params=loaded.params, pc_bn=loaded.batch_stats
+        )
+        log("3D model loaded.")
+    im_mgr = CheckpointManager(im_logdir)
+    if im_mgr.exists(im_ckpt_name):
+        template = {
+            "params": {
+                "im": state.im_params, "enc": state.loaded_enc_params
+            },
+            "bn": state.loaded_enc_bn,
+        }
+        loaded = im_mgr.restore(im_ckpt_name, template)
+        state = state.replace(
+            im_params=loaded["params"]["im"],
+            loaded_enc_params=loaded["params"]["enc"],
+            loaded_enc_bn=loaded["bn"],
+        )
+        if is_im_init:
+            state = state.replace(
+                enc_params=jax.tree.map(jnp.array, loaded["params"]["enc"]),
+                enc_bn=jax.tree.map(jnp.array, loaded["bn"]),
+            )
+        log("Pre-trained fixed implicit model loaded.")
+    else:
+        log(
+            f"WARNING: no implicit checkpoint at {im_logdir}/"
+            f"{im_ckpt_name} — implicit decoder is freshly initialized"
+        )
+    return state
+
+
 def build_argparser() -> argparse.ArgumentParser:
     """Reference-compatible CLI (``train_Point2Cyl.py:33-88``)."""
     p = argparse.ArgumentParser()
@@ -551,46 +619,10 @@ def cli_main() -> None:
         mesh = make_mesh(n_dev)
         logger.log(f"data-parallel over {n_dev} device(s)")
 
-    # staged init (train_Point2Cyl.py:329-344)
-    if args.is_pc_init:
-        pc_ckpt = CheckpointManager(args.pc_logdir)
-        from point2cyl_tpu.train import steps as S
-
-        pc_tx = S.make_optimizer(cfg)
-        template = S.TrainState(
-            params=state.pc_params, batch_stats=state.pc_bn,
-            opt_state=pc_tx.init(state.pc_params), step=jnp.int32(0),
-        )
-        loaded = pc_ckpt.restore(args.pc_ckpt, template)
-        state = state.replace(
-            pc_params=loaded.params, pc_bn=loaded.batch_stats
-        )
-        logger.log("3D model loaded.")
-    im_ckpt_mgr = CheckpointManager(args.im_logdir)
-    if im_ckpt_mgr.exists(args.im_ckpt):
-        template = {
-            "params": {
-                "im": state.im_params, "enc": state.loaded_enc_params
-            },
-            "bn": state.loaded_enc_bn,
-        }
-        loaded = im_ckpt_mgr.restore(args.im_ckpt, template)
-        state = state.replace(
-            im_params=loaded["params"]["im"],
-            loaded_enc_params=loaded["params"]["enc"],
-            loaded_enc_bn=loaded["bn"],
-        )
-        if args.is_im_init:
-            state = state.replace(
-                enc_params=loaded["params"]["enc"],
-                enc_bn=loaded["bn"],
-            )
-        logger.log("Pre-trained fixed implicit model loaded.")
-    else:
-        logger.log(
-            f"WARNING: no implicit checkpoint at {args.im_logdir}/"
-            f"{args.im_ckpt} — implicit decoder is freshly initialized"
-        )
+    state = staged_init_restore(
+        state, cfg, args.is_pc_init, args.pc_logdir, args.pc_ckpt,
+        args.is_im_init, args.im_logdir, args.im_ckpt, logger.log,
+    )
 
     train_step = make_joint_train_step(
         backbone, implicit, encoder, loaded_encoder, cfg, tx,

@@ -91,6 +91,67 @@ def test_joint_step_freezes_pc_when_not_pc_train():
     )
 
 
+def test_staged_init_restore_no_buffer_aliasing():
+    """The staged recipe seeds the trainable encoder from the SAME
+    restored tree that feeds the frozen loaded_enc_* slots. The restored
+    arrays must be COPIED into enc_*: one buffer behind two leaves of the
+    donated train step state is rejected by the TPU runtime with an
+    opaque async INVALID_ARGUMENT (round-4 joint_b4 crash). Also pins
+    that the staged restore round-trips the IGR-pretrain checkpoint
+    layout and actually loads the values."""
+    from point2cyl_tpu.core.checkpoint import CheckpointManager
+
+    cfg, pipe, nets, tx, state = setup()
+    # save an IGR-pretrain-layout checkpoint with recognizable values
+    # (bumps must stay SMALL: +1.0 on every implicit-net weight sends the
+    # softplus-β=100 SDF stack to inf and the step's total with it)
+    bumped_params = {
+        "im": jax.tree.map(lambda a: a + 1e-3, state.im_params),
+        "enc": jax.tree.map(lambda a: a + 2e-3, state.enc_params),
+    }
+    bumped_bn = jax.tree.map(lambda a: a + 3e-3, state.enc_bn)
+    im_dir = tempfile.mkdtemp()
+    CheckpointManager(im_dir).save(
+        "model", jax.device_get({"params": bumped_params, "bn": bumped_bn})
+    )
+    restored = TJ.staged_init_restore(
+        state, cfg, False, "", "model", True, im_dir, "model",
+        log=lambda *_: None,
+    )
+    # values loaded into BOTH the frozen and the trainable slots
+    for mine, want in (
+        (restored.im_params, bumped_params["im"]),
+        (restored.loaded_enc_params, bumped_params["enc"]),
+        (restored.enc_params, bumped_params["enc"]),
+        (restored.loaded_enc_bn, bumped_bn),
+        (restored.enc_bn, bumped_bn),
+    ):
+        for a, b in zip(jax.tree.leaves(mine), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # ...but through SEPARATE buffers: no leaf object of enc_* may be
+    # the same array as its loaded_enc_* counterpart
+    for a, b in zip(
+        jax.tree.leaves(restored.enc_params),
+        jax.tree.leaves(restored.loaded_enc_params),
+    ):
+        assert a is not b
+    for a, b in zip(
+        jax.tree.leaves(restored.enc_bn),
+        jax.tree.leaves(restored.loaded_enc_bn),
+    ):
+        assert a is not b
+    # the donated step runs on the restored state
+    backbone, implicit, encoder, loaded_encoder = nets
+    step = TJ.make_joint_train_step(
+        backbone, implicit, encoder, loaded_encoder, cfg, tx, SK,
+        is_pc_train=True, is_im_train=True, with_im_loss=True,
+        is_l2=False, use_gt_im=False,
+    )
+    batch = next(pipe.epochs(2, jax.random.key(1)))
+    _, aux = step(restored, batch, jax.random.key(2))
+    assert np.isfinite(float(aux["total"]))
+
+
 def test_im_pretraining_decreases_loss():
     cfg, pipe, nets, tx_unused, state = setup()
     _, implicit, encoder, _ = nets
