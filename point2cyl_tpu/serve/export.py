@@ -57,6 +57,69 @@ DECOMP_KEYS = (
 )
 DECOMP_POINT_KEYS = ("labels", "bb_labels")
 
+# geometry lanes of the packed tensor: axes(3) + centers(3) + extents(2)
+# + scales(1) + found(1), fp32 -> 20 uint16 lanes
+_PACK_GEO_LANES = 20
+
+
+def pack_decomposition(out: dict, latents_fp16: bool = True):
+    """Fuse the O(K) decomposition outputs into ONE uint16 tensor.
+
+    Remote/tunnelled serving pays a fixed per-transfer round-trip
+    (~20 ms on the dev tunnel); fetching axes/centers/extents/scales/
+    found/latents as six arrays costs six round-trips when one suffices.
+    Geometry stays bit-exact fp32 (bitcast to uint16 pairs); latents are
+    cast to fp16 (unit-norm encoder outputs; serving tolerance) halving
+    the dominant payload. Returns (B, K, 20[+latent]) uint16.
+    """
+    b, k = out["scales"].shape
+    geo = jnp.concatenate(
+        [
+            out["axes"], out["centers"], out["extents"],
+            out["scales"][..., None],
+            out["found"].astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # (B, K, 10) fp32
+    parts = [
+        jax.lax.bitcast_convert_type(geo, jnp.uint16).reshape(
+            b, k, _PACK_GEO_LANES
+        )
+    ]
+    if "latents" in out:
+        lat = out["latents"]
+        lat = lat.astype(jnp.float16) if latents_fp16 else lat
+        if latents_fp16:
+            parts.append(jax.lax.bitcast_convert_type(lat, jnp.uint16))
+        else:
+            parts.append(
+                jax.lax.bitcast_convert_type(lat, jnp.uint16).reshape(
+                    b, k, -1
+                )
+            )
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_decomposition(raw: np.ndarray, *, with_latents: bool,
+                         latents_fp16: bool = True) -> dict:
+    """Host-side inverse of :func:`pack_decomposition` (bitwise for the
+    geometry lanes). ``raw``: (B, K, D) uint16."""
+    geo = np.ascontiguousarray(raw[..., :_PACK_GEO_LANES]).view(np.float32)
+    out = {
+        "axes": geo[..., 0:3],
+        "centers": geo[..., 3:6],
+        "extents": geo[..., 6:8],
+        "scales": geo[..., 8],
+        "found": geo[..., 9] > 0.5,
+    }
+    if with_latents:
+        lat = np.ascontiguousarray(raw[..., _PACK_GEO_LANES:])
+        out["latents"] = (
+            lat.view(np.float16).astype(np.float32) if latents_fp16
+            else lat.view(np.float32)
+        )
+    return out
+
 
 def _decomposition(heads, points, num_sk_points: int, encoder=None,
                    enc_vars=None):
@@ -120,6 +183,8 @@ def _decomposition(heads, points, num_sk_points: int, encoder=None,
         out["latents"] = encoder.apply(
             enc_vars, enc_in, train=False
         ).reshape(b, k, -1)  # eval.py:463-543 latent extraction
+    # single-transfer serving tensor (see pack_decomposition)
+    out["packed"] = pack_decomposition(out)
     return out
 
 
@@ -253,6 +318,9 @@ def export_artifact(
         # decomposition: programs emit O(K) cylinder params in-graph
         # (axes/centers/extents/scales/found[/latents] + int8 labels)
         "decomposition": decomp,
+        # programs additionally fuse the O(K) outputs into one uint16
+        # "packed" tensor (single-fetch serving; see pack_decomposition)
+        "packed": decomp,
         "num_sk_points": num_sk_points,
         "with_latents": decomp and enc_vars is not None,
         "latent_size": encoder_latent if enc_vars is not None else None,

@@ -165,7 +165,8 @@ class InferenceSession:
             out = {k: v[0] for k, v in out.items()}
         return out
 
-    def decompose(self, points: Any, include_labels: bool = True) -> dict:
+    def decompose(self, points: Any, include_labels: bool = True,
+                  exact_latents: bool = False) -> dict:
         """Serve extrusion-cylinder decompositions: O(K) floats per cloud
         (axes, centers, extents, scales, found, latents when exported
         with an encoder) plus optional int8 per-point labels/bb_labels.
@@ -174,6 +175,12 @@ class InferenceSession:
         not per-point head tensors (the eval pipeline's post-backbone
         stages ``eval.py:348-543``, computed in-graph on device).
         Requires an artifact exported with decomposition outputs.
+
+        By default the O(K) outputs ride the single ``packed`` uint16
+        tensor (one device->host transfer instead of six — each transfer
+        pays a full round-trip on remote/tunnelled backends): geometry
+        unpacks bitwise, latents at fp16 precision. ``exact_latents=True``
+        (or a pre-``packed`` artifact) fetches the fp32 arrays instead.
         """
         if not self.meta.get("decomposition"):
             raise ValueError(
@@ -184,28 +191,47 @@ class InferenceSession:
         squeeze = pts.ndim == 2
         if squeeze:
             pts = pts[None]
-        keys = ("axes", "centers", "extents", "scales", "found")
-        if self.meta.get("with_latents"):
-            keys += ("latents",)
+        with_latents = bool(self.meta.get("with_latents"))
+        packed = self.meta.get("packed") and not exact_latents
+        if packed:
+            keys = ("packed",)
+        else:
+            keys = ("axes", "centers", "extents", "scales", "found")
+            if with_latents:
+                keys += ("latents",)
         if include_labels:
             keys += ("labels", "bb_labels")
         out = self._run_raw(pts, keys)
+        if packed:
+            from point2cyl_tpu.serve.export import unpack_decomposition
+
+            out.update(unpack_decomposition(
+                out.pop("packed"), with_latents=with_latents
+            ))
         if squeeze:
             out = {k: v[0] for k, v in out.items()}
         return out
 
     def benchmark(self, batch: int | None = None, iters: int = 20,
                   keys: tuple[str, ...] = ("x_raw", "w_raw"),
-                  staged: bool = False) -> dict:
+                  staged: bool = False, pipeline: int = 0) -> dict:
         """Steady-state clouds/sec through the session at one bucket.
 
         ``keys`` selects which outputs are fetched per request (e.g. the
-        O(K) decomposition keys). With ``staged=True`` the input batch is
-        placed on each serving device ONCE and iterations reuse it —
-        measuring the chip's serving rate (compute + output transfer)
-        rather than the host->device input link. On locally attached TPUs
-        input upload is ~0.1 ms/batch of PCIe; over the remote-tunnel dev
-        backend it would otherwise dominate every other cost (NOTES.md).
+        single ``packed`` decomposition tensor). With ``staged=True`` the
+        input batch is placed on each serving device ONCE and iterations
+        reuse it — measuring the chip's serving rate (compute + output
+        transfer) rather than the host->device input link. On locally
+        attached TPUs input upload is ~0.1 ms/batch of PCIe; over the
+        remote-tunnel dev backend it would otherwise dominate every other
+        cost (NOTES.md).
+
+        ``pipeline`` (staged mode): keep up to that many requests in
+        flight — dispatch is async and results are pulled with
+        ``copy_to_host_async``, so device compute of request i+1 overlaps
+        the device->host transfer of request i (the steady-state serving
+        shape: throughput = max(compute, transfer) instead of their sum).
+        0 = fully synchronous (one request at a time, latency-faithful).
         """
         b = batch or self._buckets[-1]
         rng = np.random.default_rng(0)
@@ -218,23 +244,40 @@ class InferenceSession:
             ]
             call = self._calls[self._bucket_for(b)]
 
-            def once():
+            def dispatch():
                 d = self._next_dev
                 self._next_dev = (d + 1) % len(self._devices)
                 out = call(self._dev_weights[d], dev_pts[d])
-                return {
-                    k: np.asarray(jax.device_get(v))
-                    for k, v in out.items() if k in keys
-                }
-        else:
-            def once():
-                return self._run_raw(pts, keys)
+                sel = {k: v for k, v in out.items() if k in keys}
+                for v in sel.values():
+                    v.copy_to_host_async()
+                return sel
 
-        once()  # warmup / compile
+            def materialize(sel):
+                return {k: np.asarray(v) for k, v in sel.items()}
+
+            if pipeline > 0:
+                def run(n):
+                    inflight: list = []
+                    for _ in range(n):
+                        inflight.append(dispatch())
+                        if len(inflight) > pipeline:
+                            materialize(inflight.pop(0))
+                    for sel in inflight:
+                        materialize(sel)
+            else:
+                def run(n):
+                    for _ in range(n):
+                        materialize(dispatch())
+        else:
+            def run(n):
+                for _ in range(n):
+                    self._run_raw(pts, keys)
+
+        run(1)  # warmup / compile
         t0 = time.perf_counter()
-        for _ in range(iters):
-            once()
+        run(iters)
         dt = time.perf_counter() - t0
         return {"batch": b, "clouds_per_sec": b * iters / dt,
                 "sec_per_batch": dt / iters, "keys": list(keys),
-                "staged": staged}
+                "staged": staged, "pipeline": pipeline}

@@ -251,11 +251,23 @@ def test_decompose_matches_eval_path(decomp_artifact):
     np.testing.assert_array_equal(got["labels"], want["labels"])
     np.testing.assert_array_equal(got["bb_labels"], want["bb_labels"])
     np.testing.assert_array_equal(got["found"], want["found"])
-    for key in ("axes", "centers", "extents", "scales", "latents"):
+    # default path rides the single packed uint16 tensor: geometry
+    # unpacks bitwise, latents at fp16 precision
+    for key in ("axes", "centers", "extents", "scales"):
         np.testing.assert_array_equal(got[key], np.asarray(want[key]), key)
+    np.testing.assert_allclose(
+        got["latents"], np.asarray(want["latents"]).astype(np.float16),
+        rtol=0, atol=0,
+    )
     assert got["labels"].dtype == np.int8
     assert got["axes"].shape == (2, K, 3)
     assert got["latents"].shape == (2, K, 32)
+    # exact_latents opts out of the packed fetch: fp32 bitwise
+    exact = sess.decompose(pts, exact_latents=True)
+    for key in ("axes", "centers", "extents", "scales", "latents"):
+        np.testing.assert_array_equal(
+            exact[key], np.asarray(want[key]), key
+        )
     # single-cloud convenience
     one = sess.decompose(pts[0])
     assert one["axes"].shape == (K, 3)
@@ -307,6 +319,55 @@ def test_benchmark_staged_decomp_keys(decomp_artifact):
     r = sess.benchmark(batch=2, iters=2, keys=DECOMP_KEYS, staged=True)
     assert r["staged"] and r["clouds_per_sec"] > 0
     assert "latents" in r["keys"]
+
+
+def test_benchmark_packed_pipelined(decomp_artifact):
+    """The bench-line configuration: single packed fetch, 4 requests in
+    flight (copy_to_host_async overlap)."""
+    path, _, _, _, _, _ = decomp_artifact
+    sess = InferenceSession(path)
+    r = sess.benchmark(batch=2, iters=6, keys=("packed",), staged=True,
+                       pipeline=4)
+    assert r["pipeline"] == 4 and r["clouds_per_sec"] > 0
+    assert r["keys"] == ["packed"]
+
+
+def test_pack_unpack_roundtrip_bitwise():
+    """Geometry lanes are bitcast uint16 pairs — the host unpack must be
+    bit-exact, including NaN/denormal payloads; latents roundtrip at
+    fp16."""
+    import jax.numpy as jnp
+
+    from point2cyl_tpu.serve.export import (pack_decomposition,
+                                            unpack_decomposition)
+
+    rng = np.random.default_rng(7)
+    b, k, L = 3, 4, 8
+    out = {
+        "axes": jnp.asarray(rng.normal(size=(b, k, 3)), jnp.float32),
+        "centers": jnp.asarray(rng.normal(size=(b, k, 3)), jnp.float32),
+        "extents": jnp.asarray(rng.normal(size=(b, k, 2)), jnp.float32),
+        "scales": jnp.asarray(rng.normal(size=(b, k)), jnp.float32),
+        "found": jnp.asarray(rng.integers(0, 2, size=(b, k)), bool),
+        "latents": jnp.asarray(rng.normal(size=(b, k, L)), jnp.float32),
+    }
+    # adversarial payloads: NaN, inf, denormal, -0.0
+    out["axes"] = out["axes"].at[0, 0, 0].set(np.nan)
+    out["centers"] = out["centers"].at[1, 2, 1].set(np.inf)
+    out["scales"] = out["scales"].at[2, 3].set(np.float32(1e-42))
+    out["extents"] = out["extents"].at[0, 1, 0].set(np.float32(-0.0))
+    packed = np.asarray(pack_decomposition(out))
+    assert packed.dtype == np.uint16 and packed.shape == (b, k, 20 + L)
+    got = unpack_decomposition(packed, with_latents=True)
+    for key in ("axes", "centers", "extents", "scales"):
+        np.testing.assert_array_equal(
+            got[key].view(np.uint32), np.asarray(out[key]).view(np.uint32),
+            key,
+        )
+    np.testing.assert_array_equal(got["found"], np.asarray(out["found"]))
+    np.testing.assert_array_equal(
+        got["latents"], np.asarray(out["latents"]).astype(np.float16)
+    )
 
 
 def test_multidevice_session_matches_single(artifact):
