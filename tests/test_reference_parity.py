@@ -535,6 +535,41 @@ def test_implicit_net_same_weights():
     np.testing.assert_allclose(mine, r, atol=1e-4)
 
 
+def test_pointnet_encoder_train_mode_parity_f64():
+    """Train-mode (batch-stat BN) encoder parity in f64: pins that the
+    TRAIN path — biased batch variance, eps placement, max pool, final
+    normalize — is semantically identical to torch's. In f32 the BN
+    variance reassociation noise flips max-pool winners (diffs ~1e-2),
+    so the semantic pin must run in f64."""
+    from point2cyl_tpu.core.torch_compat import export_encoder
+    from point2cyl_tpu.models.implicit import PointNetEncoder
+
+    lat_dim, rows, s = 16, 12, 16
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((rows, s, 4))
+    enc = PointNetEncoder(lat_dim, 2, with_normals=True)
+    variables = enc.init(jax.random.PRNGKey(4), jnp.zeros((1, s, 4)),
+                         train=False)
+    with jax.enable_x64(True):
+        v64 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a),
+                                                 jnp.float64), variables)
+        lat_j, _ = enc.apply(v64, jnp.asarray(x, jnp.float64), train=True,
+                             mutable=["batch_stats"])
+        lat_j = np.asarray(lat_j)
+
+    tenc = ref.igr_network.PointNetEncoder(
+        lat_dim, input_channels=2, with_normals=True
+    ).double()
+    sd = {k: torch.tensor(np.asarray(v, np.float64))
+          for k, v in export_encoder(variables["params"],
+                                     variables["batch_stats"]).items()}
+    _, unexpected = tenc.load_state_dict(sd, strict=False)
+    assert not unexpected
+    tenc.train()
+    lat_t = tenc(torch.tensor(x)).detach().numpy()
+    np.testing.assert_allclose(lat_j, lat_t, atol=1e-6)
+
+
 def test_pointnet_encoder_same_weights():
     from point2cyl_tpu.core.torch_compat import export_encoder
     from point2cyl_tpu.models.implicit import PointNetEncoder
@@ -768,6 +803,201 @@ def test_composite_igr_loss_parity():
         float(tout["im_total"].detach()),
         atol=2e-4,
     )
+
+
+def test_composite_joint_loss_parity(cloud):
+    """The joint trainer's FULL per-batch loss — proxy stack + Hungarian
+    reorder + predicted-sketch projection/scale normalization + latent
+    encoding + GT latents from the frozen encoder + IGR/SALD/latent
+    block — composed into ONE scalar and A/B'd against the reference's
+    inline stack (``train_Point2Cyl.py:405-713``, via
+    ``tests.reference_trainer.reference_joint_losses``) with identical
+    raw heads, identical net weights (torch_compat exports), pinned
+    segment sampling, and shared off-surface samples."""
+    from tests.reference_trainer import reference_joint_losses
+
+    from point2cyl_tpu.core.torch_compat import (export_encoder,
+                                                 export_implicit)
+    from point2cyl_tpu.losses.igr import igr_losses, latent_loss
+    from point2cyl_tpu.losses.segmentation import reorder_w
+    from point2cyl_tpu.models.implicit import ImplicitNet, PointNetEncoder
+    from point2cyl_tpu.ops.matching import (hungarian_matching,
+                                            mask_gt_from_labels)
+    from point2cyl_tpu.train.steps import assemble_heads, proxy_losses
+
+    lat_dim = 16
+    rng = np.random.default_rng(41)
+    # All-live cloud (every sample uses all K slots): dead slots carry
+    # DIFFERENT garbage in the two stacks (the repo zeros, the reference
+    # -centroid constant rows) and train-mode BatchNorm folds every row
+    # into the batch statistics, so dead-slot garbage perturbs even the
+    # live latents — an inherent, documented divergence (PARITY.md).
+    # The composite pin therefore runs on the no-dead-slot path.
+    cloud = make_labeled_cloud(
+        np.random.default_rng(7), B, N, K, min_instances=K
+    )
+    _, _, batch = _composite_inputs(cloud)
+    cfg = _composite_cfg()
+    # Near-GT heads (strong one-hot logits + noise) so the PREDICTED
+    # labels keep every GT instance populated: found == mask_gt, asserted
+    # below.
+    seg_oh = np.eye(K, dtype=np.float32)[cloud["seg"]]  # (B, N, K)
+    bb_oh = np.eye(2, dtype=np.float32)[cloud["bb"]]  # (B, N, 2)
+    w_raw = 6.0 * (seg_oh[..., :, None] * bb_oh[..., None, :]).reshape(
+        B, N, 2 * K
+    ) + 0.5 * rng.standard_normal((B, N, 2 * K)).astype(np.float32)
+    x_raw = (cloud["normals"] + 0.1 * rng.standard_normal(
+        (B, N, 3)
+    )).astype(np.float32)
+    # GT sketches (already subsampled/normalized — the pipeline contract)
+    sk_pts = rng.uniform(-1, 1, (B, K, S, 2)).astype(np.float32)
+    sk_nrm = rng.standard_normal((B, K, S, 2)).astype(np.float32)
+    sk_nrm /= np.linalg.norm(sk_nrm, axis=-1, keepdims=True)
+    sketches = np.concatenate([sk_pts, sk_nrm], axis=-1)
+    batch = dict(batch, sketches=jnp.array(sketches))
+    off = rng.uniform(-1.8, 1.8, (B * K, S + S // 8, 2)).astype(np.float32)
+
+    implicit = ImplicitNet(d_in=2 + lat_dim, hidden=(32,) * 7, skip_in=(4,))
+    encoder = PointNetEncoder(lat_dim, 2, with_normals=True)
+    loaded_encoder = PointNetEncoder(lat_dim, 2, with_normals=True)
+    im_params = implicit.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 2 + lat_dim))
+    )["params"]
+    enc_vars = encoder.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, S, 4)), train=False
+    )
+    loaded_vars = loaded_encoder.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, S, 4)), train=False
+    )
+
+    # ---- JAX side: the joint loss_fn composition (train_joint.py
+    # loss_fn) with key=None deterministic segment sampling ----
+    i_gt = batch["extrusion_labels"]
+    gt_bb = batch["base_barrel_labels"]
+    pts = batch["point_cloud"]
+    mask_gt = mask_gt_from_labels(i_gt, K)
+    heads = assemble_heads(jnp.array(x_raw), jnp.array(w_raw), True, True,
+                           k=K)
+    proxy_total, aux = proxy_losses(heads, batch, cfg)
+    matching, mask = hungarian_matching(heads.w, i_gt)
+    w_reordered = reorder_w(heads.w, matching)
+    w_reordered = jnp.where(mask[:, None, :], w_reordered, 0.0)
+    proj_label = jnp.argmax(w_reordered, axis=-1)
+    bb_probs = jnp.stack(
+        [jnp.sum(heads.w_2k[:, :, ::2], -1),
+         jnp.sum(heads.w_2k[:, :, 1::2], -1)], axis=-1,
+    )
+    proj_bb = jnp.argmax(bb_probs, axis=-1)
+    # rotation_mode="reference" reproduces the reference's tgm rotation
+    # defect bit-for-bit (the trainer default is the exact Rodrigues
+    # variant, pinned separately by the projection parity tests)
+    p2d, n2d, _, found_p = G.sketch_projection(
+        None, pts, heads.normals, proj_label, proj_bb,
+        batch["extrusion_axes"], batch["extrusion_centers"],
+        num_samples=S, rotation_mode="reference",
+    )
+    # the near-GT heads must leave no GT instance unfound (else the
+    # degenerate-slot divergence documented in PARITY.md kicks in and
+    # the comparison below stops being meaningful)
+    np.testing.assert_array_equal(np.asarray(found_p), np.asarray(mask_gt))
+    _, _, gt_scales, _ = G.sketch_projection(
+        None, pts, batch["normals"], i_gt, gt_bb,
+        batch["extrusion_axes"], batch["extrusion_centers"],
+        num_samples=S, rotation_mode="reference",
+    )
+    p2d = p2d / gt_scales[..., None, None]
+    enc_in = jnp.concatenate([p2d, n2d], axis=-1).reshape(B * K, S, 4)
+    latents, _ = encoder.apply(
+        enc_vars, enc_in, train=True, mutable=["batch_stats"]
+    )
+    latents = latents.reshape(B, K, lat_dim)
+    gt_latents = loaded_encoder.apply(
+        loaded_vars, jnp.array(sketches).reshape(B * K, S, 4), train=False
+    ).reshape(B, K, lat_dim)
+
+    def sdf_fn(x):
+        return implicit.apply({"params": im_params}, x)
+
+    igr = igr_losses(
+        sdf_fn, jax.random.PRNGKey(0), jnp.array(sk_pts),
+        jnp.array(sk_nrm), latents, mask_gt,
+        eikonal_weight=cfg.weights.igr_eikonal,
+        normals_weight=cfg.weights.igr_normal,
+        off_pts=jnp.array(off),
+    )
+    lat_loss = latent_loss(latents, gt_latents, mask_gt, use_l2=False)
+    im_total = igr.total + cfg.weights.sketch_latent * lat_loss
+    total = proxy_total + im_total
+
+    # ---- torch side: the reference inline stack with the same nets ----
+    tnet = ref.igr_network.ImplicitNet(
+        d_in=2 + lat_dim, dims=[32] * 7, skip_in=(4,)
+    )
+    sd = {k: torch.tensor(v) for k, v in export_implicit(im_params).items()}
+    missing, unexpected = tnet.load_state_dict(sd, strict=False)
+    assert not missing and not unexpected
+
+    def load_enc(variables):
+        t = ref.igr_network.PointNetEncoder(
+            lat_dim, input_channels=2, with_normals=True
+        )
+        sd = {k: torch.tensor(v) for k, v in export_encoder(
+            variables["params"], variables["batch_stats"]
+        ).items()}
+        _, unexpected = t.load_state_dict(sd, strict=False)
+        assert not unexpected
+        return t
+
+    tenc = load_enc(enc_vars)
+    tenc.train()  # BN on batch stats, matching encoder.apply(train=True)
+    tload = load_enc(loaded_vars)
+    tload.eval()
+
+    class _FixedSampler:
+        def get_points(self, pc):
+            return _t(off)
+
+    with deterministic_torch_randint():
+        tout = reference_joint_losses(
+            _t(x_raw), _t(w_raw), _t(cloud["points"]),
+            _t(cloud["normals"]), _t(cloud["seg"]), _t(cloud["bb"]),
+            _t(cloud["axes"]), _t(cloud["centers"]), _t(sketches),
+            tenc, tload, tnet, _FixedSampler(), S,
+            is_l2=False, is_pc_train=True,
+        )
+
+    # The encoder INPUT (projection -> scale-normalize -> concat) is
+    # pinned at f32 ulp; the encoder's train-mode BN is semantically
+    # identical (test_pointnet_encoder_train_mode_parity_f64: 6e-8 in
+    # f64) but in f32 the BN batch-variance reassociation noise flips
+    # max-pool winners, amplifying latent (and latent-dependent scalar)
+    # diffs to the 1e-2 scale — hence the split tolerances below.
+    # Slots with mask_gt=False never enter any loss; both stacks fill
+    # them with (different) garbage — zeros here, -centroid rows in the
+    # reference — so the row comparisons are masked to the live slots.
+    live = np.asarray(mask_gt).reshape(B * K)
+    np.testing.assert_allclose(
+        np.asarray(enc_in)[live], tout["enc_in"].detach().numpy()[live],
+        atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(latents).reshape(B * K, lat_dim)[live],
+        tout["latent_codes"].detach().numpy()[live], atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gt_latents).reshape(B * K, lat_dim)[live],
+        tout["latent_codes_gt"].detach().numpy()[live], atol=1e-4,
+    )
+    for key, mine, tol in (
+        ("manifold", igr.manifold, 5e-2), ("eikonal", igr.eikonal, 5e-2),
+        ("sald", igr.normals, 5e-2), ("latent", lat_loss, 5e-2),
+        ("im_total", im_total, 1e-1), ("proxy_total", proxy_total, 1e-4),
+        ("total", total, 1e-1),
+    ):
+        np.testing.assert_allclose(
+            float(mine), float(tout[key].detach()), atol=tol,
+            err_msg=key,
+        )
 
 
 # ---------------------------------------------------------------------------
