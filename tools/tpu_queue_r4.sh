@@ -32,6 +32,7 @@ run() {
 }
 
 ok() {  # ok step...: all named steps ran and exited 0
+  local s  # MUST be local: without it the loop clobbers the caller's $s
   for s in "$@"; do
     [[ "${ST[$s]:-missing}" == "0" ]] || { echo "=== SKIP (dep $s failed: ${ST[$s]:-missing})"; return 1; }
   done
