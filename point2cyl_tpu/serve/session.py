@@ -23,6 +23,7 @@ import time
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from point2cyl_tpu.serve.export import LoadedArtifact, load_artifact
@@ -37,20 +38,46 @@ class InferenceSession:
     """
 
     def __init__(self, artifact: str | LoadedArtifact,
-                 devices: list | None = None):
+                 devices: list | None = None, retrace: bool = True):
         """``devices``: serve data-parallel over these devices (default:
         the backend default device only). Chunks round-robin across them;
         each device runs the unmodified single-device program, so this
         composes with Mosaic-kernel artifacts that an SPMD partitioner
-        could not split."""
+        could not split.
+
+        ``retrace`` (default): rebuild the serving forward from artifact
+        metadata through the package code and serve the live jitted
+        program — a deserialized ``jax.export`` program pays ~200 ms/call
+        of fixed, non-pipelineable dispatch overhead on the remote-TPU
+        backend (~8x the live program; see export.rebuild_forward).
+        ``retrace=False`` serves the frozen serialized programs exactly
+        as exported (package-version-independent)."""
         art = (load_artifact(artifact) if isinstance(artifact, str)
                else artifact)
         self.meta = art.meta
-        # One jitted caller per bucket; jit caches the underlying
-        # executable so repeated predict() calls do not re-lower.
-        self._calls = {
-            b: jax.jit(exp.call) for b, exp in art.programs.items()
-        }
+        self.retraced = False
+        self._calls: dict[int, Any] = {}
+        if retrace:
+            try:
+                from point2cyl_tpu.serve.export import rebuild_forward
+
+                jfn = jax.jit(rebuild_forward(art.meta))
+                # one jitted fn serves every bucket (shape-keyed cache)
+                self._calls = {b: jfn for b in art.programs}
+                self.retraced = True
+            except Exception as e:  # e.g. meta from a newer package
+                import warnings
+
+                warnings.warn(
+                    f"retrace failed ({e!r}); serving the frozen "
+                    "exported programs instead", stacklevel=2,
+                )
+        if not self._calls:
+            # One jitted caller per bucket; jit caches the underlying
+            # executable so repeated predict() calls do not re-lower.
+            self._calls = {
+                b: jax.jit(exp.call) for b, exp in art.programs.items()
+            }
         self._buckets = sorted(self._calls)
         self._devices = list(devices) if devices else [None]
         # Weights live on every serving device once, up front.
@@ -62,6 +89,7 @@ class InferenceSession:
         # single-chunk requests must still spread over all devices, not
         # pile onto device 0.
         self._next_dev = 0
+        self._sel_calls: dict[tuple, Any] = {}  # see _call_for
         self.stats = {"requests": 0, "clouds": 0, "padded": 0,
                       "device_s": 0.0}
 
@@ -74,6 +102,31 @@ class InferenceSession:
             if b >= n:
                 return b
         return self._buckets[-1]
+
+    def _call_for(self, bucket: int, keys: tuple[str, ...] | None):
+        """The callable to serve this (bucket, output-selection).
+
+        When retraced, the selection is jitted INTO the program: XLA
+        dead-code-eliminates every unrequested output, so e.g. a
+        packed-decomposition request never computes or materializes the
+        per-point head tensors (measured: the full 13-output program
+        costs ~6x the packed-only program per call on the remote-TPU
+        backend — output materialization, not compute). Frozen-program
+        sessions can't re-trace, so they run the full program and the
+        caller filters (transfer is still selective)."""
+        if not self.retraced or keys is None:
+            return self._calls[bucket]
+        sel = tuple(sorted(set(keys)))
+        cached = self._sel_calls.get(sel)
+        if cached is None:
+            full = self._calls[bucket]  # same jit fn for every bucket
+
+            def selected(w, pts, _full=full, _sel=sel):
+                out = _full(w, pts)
+                return {k: out[k] for k in _sel if k in out}
+
+            cached = self._sel_calls[sel] = jax.jit(selected)
+        return cached
 
     def _run_raw(self, pts: np.ndarray,
                  keys: tuple[str, ...] | None = None) -> dict[str, np.ndarray]:
@@ -107,7 +160,7 @@ class InferenceSession:
             dev = self._devices[d]
             if dev is not None:
                 chunk = jax.device_put(chunk, dev)
-            out = self._calls[b](self._dev_weights[d], chunk)
+            out = self._call_for(b, keys)(self._dev_weights[d], chunk)
             pending.append((take, out))
             i += take
         # Phase 2 — gather results back to host (selected keys only).
@@ -214,7 +267,8 @@ class InferenceSession:
 
     def benchmark(self, batch: int | None = None, iters: int = 20,
                   keys: tuple[str, ...] = ("x_raw", "w_raw"),
-                  staged: bool = False, pipeline: int = 0) -> dict:
+                  staged: bool = False, pipeline: int = 0,
+                  sync: str = "fetch") -> dict:
         """Steady-state clouds/sec through the session at one bucket.
 
         ``keys`` selects which outputs are fetched per request (e.g. the
@@ -232,23 +286,51 @@ class InferenceSession:
         the device->host transfer of request i (the steady-state serving
         shape: throughput = max(compute, transfer) instead of their sum).
         0 = fully synchronous (one request at a time, latency-faithful).
+
+        ``sync`` (staged + retraced): what forces each request's
+        completion. ``"fetch"`` (default) pulls every selected output to
+        the host — on the dev tunnel (~2-14 MB/s) the result transfer
+        then dominates any sizable output. ``"checksum"`` fetches a
+        4-byte in-graph checksum over the selected outputs instead: the
+        full program still runs per request and its outputs land in HBM
+        ready to fetch, so the line measures the CHIP's request rate —
+        the deployment-relevant number anywhere the result link is not a
+        ~2 MB/s tunnel (PCIe moves the same payload in ~0.03 ms).
         """
         b = batch or self._buckets[-1]
         rng = np.random.default_rng(0)
         pts = rng.standard_normal(
             (b, self.num_points, 3), dtype=np.float32)
+        if sync == "checksum" and staged and self.retraced:
+            bucket = self._bucket_for(b)
+            base = self._calls[bucket]
+            sel = tuple(sorted(set(keys)))
+
+            def checksummed(w, p, _base=base, _sel=sel):
+                out = _base(w, p)
+                acc = jnp.float32(0)
+                for k in _sel:
+                    if k in out:
+                        acc = acc + jnp.sum(
+                            out[k].astype(jnp.float32) * 1e-9
+                        )
+                return {"_sync": acc}
+
+            call = jax.jit(checksummed)
+        elif staged:
+            call = self._call_for(self._bucket_for(b), keys)
         if staged:
             dev_pts = [
                 pts if d is None else jax.device_put(pts, d)
                 for d in self._devices
             ]
-            call = self._calls[self._bucket_for(b)]
 
             def dispatch():
                 d = self._next_dev
                 self._next_dev = (d + 1) % len(self._devices)
                 out = call(self._dev_weights[d], dev_pts[d])
-                sel = {k: v for k, v in out.items() if k in keys}
+                sel = {k: v for k, v in out.items()
+                       if k in keys or k == "_sync"}
                 for v in sel.values():
                     v.copy_to_host_async()
                 return sel
@@ -280,4 +362,4 @@ class InferenceSession:
         dt = time.perf_counter() - t0
         return {"batch": b, "clouds_per_sec": b * iters / dt,
                 "sec_per_batch": dt / iters, "keys": list(keys),
-                "staged": staged, "pipeline": pipeline}
+                "staged": staged, "pipeline": pipeline, "sync": sync}

@@ -321,6 +321,29 @@ def test_benchmark_staged_decomp_keys(decomp_artifact):
     assert "latents" in r["keys"]
 
 
+def test_retrace_matches_frozen_programs(decomp_artifact):
+    """The default session re-traces the serving forward from artifact
+    metadata (the deserialized-export call path costs ~200 ms/call of
+    fixed dispatch overhead on the remote-TPU serving target); the
+    frozen serialized programs stay available via retrace=False. Both
+    paths must produce identical outputs — same function, same weights,
+    same platform."""
+    path, meta, *_ = decomp_artifact
+    live = InferenceSession(path)
+    frozen = InferenceSession(path, retrace=False)
+    assert live.retraced and not frozen.retraced
+    pts = RNG.normal(size=(2, CFG.num_points, 3)).astype(np.float32)
+    a = live.decompose(pts)
+    b = frozen.decompose(pts)
+    assert set(a) == set(b)
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    ra = live.predict(pts)
+    rb = frozen.predict(pts)
+    for key in ra:
+        np.testing.assert_array_equal(ra[key], rb[key], err_msg=key)
+
+
 def test_benchmark_packed_pipelined(decomp_artifact):
     """The bench-line configuration: single packed fetch, 4 requests in
     flight (copy_to_host_async overlap)."""
@@ -330,6 +353,17 @@ def test_benchmark_packed_pipelined(decomp_artifact):
                        pipeline=4)
     assert r["pipeline"] == 4 and r["clouds_per_sec"] > 0
     assert r["keys"] == ["packed"]
+
+
+def test_benchmark_checksum_sync(decomp_artifact):
+    """sync='checksum' forces each request with a 4-byte in-graph
+    checksum instead of the full result fetch (the bench-line mode on
+    tunnelled backends)."""
+    path, _, _, _, _, _ = decomp_artifact
+    sess = InferenceSession(path)
+    r = sess.benchmark(batch=2, iters=4, keys=("packed",), staged=True,
+                       pipeline=2, sync="checksum")
+    assert r["sync"] == "checksum" and r["clouds_per_sec"] > 0
 
 
 def test_pack_unpack_roundtrip_bitwise():
