@@ -19,6 +19,12 @@ HEADS="--pred_seg --pred_normal --pred_bb --pred_extrusion --pred_center"
 
 declare -A ST  # step name -> exit status
 
+# part A (tools/tpu_queue_r4.sh) already produced these; mark them ok so
+# gates on them pass in THIS process when their checkpoints exist
+for prev in pc300 igr_b16 ab_repo_s5 ab_repo_s6; do
+  [[ -d "$R/$prev/model" ]] && ST[$prev]=0
+done
+
 run() {
   local to=$1 name=$2; shift 2
   echo "=== $name start $(date -u +%H:%M:%S): $*"
@@ -78,8 +84,33 @@ for sd in 7 8; do
     --num_point 512 --batch_size 8 --no_implicit --seed 0
 done
 
+# --- joint A/B, repo side (VERDICT #4) --------------------------------
+# One shared IGR pretrain on the ab_data sketches (the reference recipe
+# pretrains the decoder once), then staged joint runs per seed from the
+# matching trainer-A checkpoints; evals include the fitting metrics
+# (implicit stack restored from the joint logdir). The reference side
+# runs on host CPU via tools/ab_accuracy.py {export-im, train-ref,
+# train-ref-joint, import-ref-joint} + p2c-eval --platform cpu.
+run 3600 ab_igr p2c-train-joint --pretrain_im --data_dir ab_data \
+  --data_split train --num_point 512 --num_sk_point 256 \
+  --num_epochs 300 --batch_size 16 --seed 3 --logdir "$R/ab_igr"
+
+for sd in 5 6 7; do
+  ok ab_igr ab_repo_s$sd && run 5400 ab_joint_s$sd p2c-train-joint \
+    --data_dir ab_data --data_split train --num_point 512 \
+    --num_sk_point 256 --num_epochs 60 --batch_size 8 --seed $sd \
+    $HEADS --with_im_loss --is_pc_train --is_im_train \
+    --is_pc_init --pc_logdir "$R/ab_repo_s$sd" \
+    --is_im_init --im_logdir "$R/ab_igr" \
+    --logdir "$R/ab_joint_s$sd"
+  ok ab_joint_s$sd && run 1800 abj_eval_repo_s$sd p2c-eval \
+    --logdir "$R/ab_joint_s$sd" --im_logdir "$R/ab_joint_s$sd" \
+    --data_dir ab_data --data_split test --num_point 512 \
+    --num_sk_point 256 --batch_size 8 --seed 0
+done
+
 # --- serving bench: packed single-fetch + pipeline --------------------
-run 2400 serve_bench python bench.py --serve-only --batch 16
+run 2400 serve_bench python bench.py --serve-only --batch 64
 
 echo "=== queue done $(date -u +%H:%M:%S)"
 for s in "${!ST[@]}"; do echo "STATUS $s=${ST[$s]}"; done
