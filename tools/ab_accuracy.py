@@ -252,6 +252,47 @@ def cmd_export_im(args) -> None:
     print(f"exported {args.im_logdir}/{args.ckpt} -> {args.out}")
 
 
+def cmd_export_pc(args) -> None:
+    """Repo trainer-A checkpoint -> reference ``{"model": state_dict}``
+    .pth, so the CPU reference joint trainer can stage from the SAME
+    trainer-A weights as the repo side (isolating the joint stage in
+    the A/B — VERDICT r3 #4's protocol)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from point2cyl_tpu.core.checkpoint import (
+        CheckpointManager,
+        restore_backbone_vars,
+    )
+    from point2cyl_tpu.core.config import BackboneConfig
+    from point2cyl_tpu.core.torch_compat import export_backbone
+    from point2cyl_tpu.models.backbone import Backbone
+
+    backbone = Backbone(
+        BackboneConfig(
+            num_points=args.num_point, output_sizes=(3, 2 * args.k)
+        )
+    )
+    key = jax.random.key(0)
+    b_vars = backbone.init(
+        {"params": key, "sample": key, "dropout": key},
+        jnp.zeros((1, args.num_point, 3)),
+        train=False,
+    )
+    mgr = CheckpointManager(args.logdir)
+    restored = None
+    for name in ("model", "pc_model"):
+        restored = restore_backbone_vars(mgr, name, b_vars)
+        if restored is not None:
+            break
+    assert restored is not None, f"no backbone ckpt under {args.logdir}"
+    sd = export_backbone(restored["params"], restored["batch_stats"])
+    torch.save({"model": {k: torch.tensor(v) for k, v in sd.items()}},
+               args.out)
+    print(f"exported {args.logdir} -> {args.out}")
+
+
 def cmd_train_ref_joint(args) -> None:
     """CPU-torch reference JOINT trainer (VERDICT r3 missing #2): the
     actual mounted reference nets trained with a verbatim-behavior
@@ -464,13 +505,21 @@ _METRICS = {
     "centroid": "Mean centroid difference =",
 }
 
+# emitted only by evals with the implicit stack (joint A/B)
+_FIT_METRICS = {
+    "fit_cyl": "Mean per-extrusion cylinder fitting loss=",
+    "fit_global": "Mean global fitting loss=",
+}
+
 
 def cmd_summary(args) -> None:
     """Rebuild the A/B table mechanically from the ``p2c-eval`` logs.
 
-    Groups ``ab_eval_{repo|ref}_s{N}[_cpu].log`` files by side, prints
-    one row per trained seed plus per-metric mean +/- std and a Welch
-    t-test — the reproducible source of the NOTES.md tables.
+    Groups ``{prefix}_{repo|ref}_s{N}[_cpu].log`` files by side (default
+    prefix ``ab_eval``; the joint A/B logs use ``--prefix abj_eval``),
+    prints one row per trained seed plus per-metric mean +/- std and a
+    Welch t-test — the reproducible source of the NOTES.md tables. The
+    fitting-loss metrics are included when present (joint evals).
     """
     import glob
     import math
@@ -478,31 +527,40 @@ def cmd_summary(args) -> None:
 
     import numpy as np
 
+    metrics = dict(_METRICS)
+    if args.prefix != "ab_eval":  # joint evals carry fitting metrics
+        metrics.update(_FIT_METRICS)
+
     rows = []  # (side, label, {metric: value})
     for path in sorted(glob.glob(os.path.join(args.log_dir,
-                                              "ab_eval_*.log"))):
-        m = re.match(r"ab_eval_(repo|ref)_s(\d+)(_cpu)?\.log",
-                     os.path.basename(path))
+                                              f"{args.prefix}_*.log"))):
+        m = re.match(
+            re.escape(args.prefix) + r"_(repo|ref)_s(\d+)(_cpu)?\.log",
+            os.path.basename(path),
+        )
         if not m:
             continue
         text = open(path).read()
         vals = {}
-        for name, prefix in _METRICS.items():
+        for name, prefix in metrics.items():
             hit = re.search(re.escape(prefix) + r"\s*([0-9.eE+-]+)", text)
             if hit:
                 vals[name] = float(hit.group(1))
-        if len(vals) != len(_METRICS):
+        if len(vals) < len(_METRICS):
             continue  # incomplete/failed eval
         label = f"s{m.group(2)}" + ("/cpu" if m.group(3) else "")
         rows.append((m.group(1), label, vals))
 
-    cols = list(_METRICS)
+    cols = [c for c in metrics
+            if any(c in v for _, _, v in rows)]
     print(f"{'side':5} {'seed':7} " + " ".join(f"{c:>11}" for c in cols))
     for side, label, vals in rows:
-        print(f"{side:5} {label:7} "
-              + " ".join(f"{vals[c]:11.4f}" for c in cols))
+        print(f"{side:5} {label:7} " + " ".join(
+            f"{vals[c]:11.4f}" if c in vals else f"{'-':>11}"
+            for c in cols))
     by_side = {
-        s: {c: np.array([v[c] for sd, _, v in rows if sd == s])
+        s: {c: np.array([v[c] for sd, _, v in rows
+                         if sd == s and c in v])
             for c in cols}
         for s in ("repo", "ref")
     }
@@ -568,6 +626,13 @@ def main() -> None:
     p.add_argument("--num_sk_point", type=int, default=256)
     p.set_defaults(fn=cmd_export_im)
 
+    p = sub.add_parser("export-pc")
+    p.add_argument("--logdir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num_point", type=int, default=512)
+    p.add_argument("--k", type=int, default=8)
+    p.set_defaults(fn=cmd_export_pc)
+
     p = sub.add_parser("train-ref-joint")
     p.add_argument("--h5", required=True)
     p.add_argument("--logdir", required=True)
@@ -595,6 +660,9 @@ def main() -> None:
 
     p = sub.add_parser("summary")
     p.add_argument("--log_dir", default="/tmp")
+    p.add_argument("--prefix", default="ab_eval",
+                   help="log-name prefix: ab_eval (proxy A/B) or "
+                   "abj_eval (joint A/B, adds fitting metrics)")
     p.set_defaults(fn=cmd_summary)
 
     for sp in sub.choices.values():
