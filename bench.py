@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import jax
@@ -304,6 +306,16 @@ def main() -> None:
                 {"metric": f"serve_session_throughput_n{args.n}",
                  "error": "timeout after 900s"}), flush=True)
     if not args.no_train:
+        # Small-batch lines are host-dispatch-sensitive: the B=4 trainer
+        # measured 541 idle vs 309 under concurrent load (NOTES r3).
+        # Record the 1-min loadavg next to the lines so a noisy number
+        # is attributable.
+        try:
+            load1 = os.getloadavg()[0]
+            print(f"[bench] loadavg(1m)={load1:.2f} before train lines",
+                  file=sys.stderr, flush=True)
+        except OSError:
+            pass
         for b in (64, 4):
             try:
                 cps = train_throughput(args.n, b)
