@@ -159,15 +159,19 @@ def serve_throughput(n_points: int, batch: int) -> dict:
     single fused ``packed`` program per request, 4 requests in flight.
 
     Both endpoints of the dev tunnel are excluded: inputs are staged
-    device-resident (``staged=True``) and completion is forced by a
-    4-byte in-graph checksum per request (``sync="checksum"``) rather
-    than pulling the 545 KB packed payload through the tunnel (~2-14
-    MB/s on a good day, which would cap the line at the tunnel's mood,
-    not the chip). The full decomposition program still runs per request
-    with its outputs landing in HBM; on any locally attached deployment
-    the same payload is ~0.03 ms of PCIe. The line therefore measures
-    the chip's per-request serving rate through the session dispatch
-    path."""
+    device-resident (``staged=True``, a rotating pool so nothing can
+    dedupe repeats) and completion is fenced by device-accumulated
+    in-graph checksums with ONE scalar fetch at the end
+    (``sync="chain"``) — neither the 545 KB packed payload nor a
+    per-request host round-trip rides the ~2-14 MB/s, ~0.25 s-RTT
+    tunnel, which would otherwise cap the line at the tunnel's mood,
+    not the chip (measured: 208 clouds/s with per-request 4-byte
+    fetches vs ~1030 device rate). The full decomposition program
+    still runs once per request with its outputs landing in HBM; on
+    any locally attached deployment the same payload is ~0.03 ms of
+    PCIe and the dispatch RTT is microseconds. The line therefore
+    measures the chip's per-request serving rate through the session
+    dispatch path."""
     import os
     import sys
     import tempfile
@@ -210,7 +214,7 @@ def serve_throughput(n_points: int, batch: int) -> dict:
         r = None
         for _ in range(3):
             m = sess.benchmark(batch, iters=10, keys=("packed",),
-                               staged=True, pipeline=8, sync="checksum")
+                               staged=True, pipeline=8, sync="chain")
             if r is None or m["clouds_per_sec"] > r["clouds_per_sec"]:
                 r = m
             mark(f"measured {m['clouds_per_sec']:.1f} clouds/s")

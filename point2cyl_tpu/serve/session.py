@@ -268,7 +268,7 @@ class InferenceSession:
     def benchmark(self, batch: int | None = None, iters: int = 20,
                   keys: tuple[str, ...] = ("x_raw", "w_raw"),
                   staged: bool = False, pipeline: int = 0,
-                  sync: str = "fetch") -> dict:
+                  sync: str = "fetch", pool: int = 4) -> dict:
         """Steady-state clouds/sec through the session at one bucket.
 
         ``keys`` selects which outputs are fetched per request (e.g. the
@@ -296,12 +296,20 @@ class InferenceSession:
         ready to fetch, so the line measures the CHIP's request rate —
         the deployment-relevant number anywhere the result link is not a
         ~2 MB/s tunnel (PCIe moves the same payload in ~0.03 ms).
+        ``"chain"`` goes one further: the per-request checksums
+        accumulate on DEVICE and a single scalar fetch at the end fences
+        the whole run, so not even one per-request host round-trip is on
+        the clock (the remote tunnel's ~0.25 s dispatch RTT per
+        materialize otherwise swamps the 0.06 s program; measured
+        208 vs ~1030 clouds/s). Each iteration is still one real
+        program execution; ``pool`` distinct device-resident input
+        batches rotate so no cache anywhere can dedupe repeats.
         """
         b = batch or self._buckets[-1]
         rng = np.random.default_rng(0)
         pts = rng.standard_normal(
             (b, self.num_points, 3), dtype=np.float32)
-        if sync == "checksum" and staged and self.retraced:
+        if sync in ("checksum", "chain") and staged and self.retraced:
             bucket = self._bucket_for(b)
             base = self._calls[bucket]
             sel = tuple(sorted(set(keys)))
@@ -320,15 +328,24 @@ class InferenceSession:
         elif staged:
             call = self._call_for(self._bucket_for(b), keys)
         if staged:
+            pool_pts = [pts] + [
+                rng.standard_normal(
+                    (b, self.num_points, 3), dtype=np.float32)
+                for _ in range(max(1, pool) - 1)
+            ]
             dev_pts = [
-                pts if d is None else jax.device_put(pts, d)
+                [p if d is None else jax.device_put(p, d)
+                 for p in pool_pts]
                 for d in self._devices
             ]
+            self._pool_i = 0
 
             def dispatch():
                 d = self._next_dev
                 self._next_dev = (d + 1) % len(self._devices)
-                out = call(self._dev_weights[d], dev_pts[d])
+                p = dev_pts[d][self._pool_i % len(dev_pts[d])]
+                self._pool_i += 1
+                out = call(self._dev_weights[d], p)
                 sel = {k: v for k, v in out.items()
                        if k in keys or k == "_sync"}
                 for v in sel.values():
@@ -338,7 +355,14 @@ class InferenceSession:
             def materialize(sel):
                 return {k: np.asarray(v) for k, v in sel.items()}
 
-            if pipeline > 0:
+            if sync == "chain" and self.retraced:
+                def run(n):
+                    acc = None
+                    for _ in range(n):
+                        s = dispatch()["_sync"]
+                        acc = s if acc is None else acc + s
+                    float(acc)  # single host sync fences every request
+            elif pipeline > 0:
                 def run(n):
                     inflight: list = []
                     for _ in range(n):

@@ -366,6 +366,17 @@ def test_benchmark_checksum_sync(decomp_artifact):
     assert r["sync"] == "checksum" and r["clouds_per_sec"] > 0
 
 
+def test_benchmark_chain_sync(decomp_artifact):
+    """sync='chain' accumulates per-request checksums on device with one
+    final scalar fetch (the bench-line mode: no per-request host RTT on
+    the clock; a pool of distinct staged inputs rotates)."""
+    path, _, _, _, _, _ = decomp_artifact
+    sess = InferenceSession(path)
+    r = sess.benchmark(batch=2, iters=5, keys=("packed",), staged=True,
+                       sync="chain", pool=3)
+    assert r["sync"] == "chain" and r["clouds_per_sec"] > 0
+
+
 def test_pack_unpack_roundtrip_bitwise():
     """Geometry lanes are bitcast uint16 pairs — the host unpack must be
     bit-exact, including NaN/denormal payloads; latents roundtrip at
