@@ -287,8 +287,10 @@ def main() -> None:
         if args.platform:
             cmd += ["--platform", args.platform]
         try:
+            # 1800s: the export/compile is ~100s on an idle host but >20
+            # min when a CPU job owns the single host core (measured r4)
             r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=900)
+                               timeout=1800)
             line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
             if r.returncode == 0 and line.startswith("{"):
                 print(line, flush=True)
@@ -308,7 +310,7 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             print(json.dumps(
                 {"metric": f"serve_session_throughput_n{args.n}",
-                 "error": "timeout after 900s"}), flush=True)
+                 "error": "timeout after 1800s"}), flush=True)
     if not args.no_train:
         # Small-batch lines are host-dispatch-sensitive: the B=4 trainer
         # measured 541 idle vs 309 under concurrent load (NOTES r3).
