@@ -10,3 +10,6 @@ from point2cyl_tpu.parallel.point_sharding import (  # noqa: F401
     sample_and_group_sharded,
     three_nn_interpolate_sharded,
 )
+from point2cyl_tpu.parallel.sharded_backbone import (  # noqa: F401
+    backbone_apply_point_sharded,
+)

@@ -359,6 +359,48 @@ def farthest_point_sample_sharded(
     return fn(xyz)
 
 
+def _sample_and_group_local(
+    radius: float,
+    nsample: int,
+    xyz_s: jax.Array,
+    feats_s: jax.Array | None,
+    fps_full: jax.Array,
+    axis: str,
+    n_shards: int,
+) -> tuple[jax.Array, jax.Array]:
+    """shard_map-local body of ``sample_and_group_sharded`` (also reused by
+    the point-sharded backbone forward in ``parallel/sharded_backbone.py``).
+    ``fps_full`` is (B, npoint) replicated global indices; returns this
+    shard's (B, npoint/P, 3) center slice and its grouped neighborhoods."""
+    p = n_shards
+    b, nl, _ = xyz_s.shape
+    me = jax.lax.axis_index(axis)
+    off = (me * nl).astype(jnp.int32)
+    # centers: one masked-psum gather of the replicated fps indices
+    local_i = jnp.clip(fps_full - off, 0, nl - 1)
+    g = jnp.take_along_axis(xyz_s, local_i[:, :, None], axis=1)
+    owner = (fps_full >= off) & (fps_full < off + nl)
+    new_xyz_full = jax.lax.psum(
+        jnp.where(owner[:, :, None], g, 0), axis
+    )  # (B, npoint, 3) replicated
+    # my query slice of the centers
+    spl = fps_full.shape[1] // p
+    q = jax.lax.dynamic_slice_in_dim(new_xyz_full, me * spl, spl, 1)
+    idx = _ring_ball_query_local(
+        radius, nsample, xyz_s, q, axis=axis, n_shards=p
+    )
+    grouped_xyz = _ring_gather_local(xyz_s, idx, axis=axis, n_shards=p)
+    grouped_xyz = grouped_xyz - q[:, :, None, :]
+    if feats_s is not None:
+        grouped_f = _ring_gather_local(
+            feats_s, idx, axis=axis, n_shards=p
+        )
+        new_feats = jnp.concatenate([grouped_xyz, grouped_f], axis=-1)
+    else:
+        new_feats = grouped_xyz
+    return q, new_feats
+
+
 def sample_and_group_sharded(
     mesh: Mesh,
     radius: float,
@@ -380,32 +422,10 @@ def sample_and_group_sharded(
     p = _axis_size(mesh, axis)
 
     def local(xyz_s, feats_s, fps_full):
-        b, nl, _ = xyz_s.shape
-        me = jax.lax.axis_index(axis)
-        off = (me * nl).astype(jnp.int32)
-        # centers: one masked-psum gather of the replicated fps indices
-        local_i = jnp.clip(fps_full - off, 0, nl - 1)
-        g = jnp.take_along_axis(xyz_s, local_i[:, :, None], axis=1)
-        owner = (fps_full >= off) & (fps_full < off + nl)
-        new_xyz_full = jax.lax.psum(
-            jnp.where(owner[:, :, None], g, 0), axis
-        )  # (B, npoint, 3) replicated
-        # my query slice of the centers
-        spl = fps_full.shape[1] // p
-        q = jax.lax.dynamic_slice_in_dim(new_xyz_full, me * spl, spl, 1)
-        idx = _ring_ball_query_local(
-            radius, nsample, xyz_s, q, axis=axis, n_shards=p
+        return _sample_and_group_local(
+            radius, nsample, xyz_s, feats_s, fps_full,
+            axis=axis, n_shards=p,
         )
-        grouped_xyz = _ring_gather_local(xyz_s, idx, axis=axis, n_shards=p)
-        grouped_xyz = grouped_xyz - q[:, :, None, :]
-        if feats_s is not None:
-            grouped_f = _ring_gather_local(
-                feats_s, idx, axis=axis, n_shards=p
-            )
-            new_feats = jnp.concatenate([grouped_xyz, grouped_f], axis=-1)
-        else:
-            new_feats = grouped_xyz
-        return q, new_feats
 
     if feats is None:
         fn = jax.shard_map(

@@ -126,3 +126,37 @@ def test_ring_ops_shard_outputs_over_the_mesh():
     assert len(devs) == 8
     shard_shapes = {s.data.shape for s in idx.addressable_shards}
     assert shard_shapes == {(2, 64 // 8, 16)}
+
+
+def test_point_sharded_backbone_matches_single_device():
+    """The full eval-mode backbone forward with the point axis sharded
+    (parallel/sharded_backbone.py) reproduces Backbone.apply: SA1 runs
+    via the exact ring ops, the mid-pyramid replicated, fp1 + heads
+    shard-local — same params, same outputs."""
+    from point2cyl_tpu.core.config import BackboneConfig
+    from point2cyl_tpu.models.backbone import Backbone
+    from point2cyl_tpu.parallel.sharded_backbone import (
+        backbone_apply_point_sharded,
+    )
+
+    mesh = make_mesh(8)
+    cfg = BackboneConfig(
+        num_points=256, sa_npoints=(64, 16), sa_radii=(0.4, 0.8),
+        sa_nsamples=(16, 8), sa_mlps=((8, 16), (16, 32)),
+        sa_global_mlp=(32, 32), fp_mlps=((16,), (16,), (8, 8)),
+        fc_width=8, output_sizes=(3, 4), approx_neighbors=False,
+    )
+    pts = _cloud(jax.random.key(12), 2, 256)
+    model = Backbone(cfg)
+    v = model.init({"params": jax.random.key(13)}, pts, train=False)
+    want = model.apply(v, pts, train=False)
+    got = backbone_apply_point_sharded(mesh, v, cfg, pts)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        # selection/gather paths are exact; the fp blends and MLP chains
+        # accumulate float noise only through all_gather layout changes
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-5
+        )
+        devs = {d.id for d in g.sharding.device_set}
+        assert len(devs) == 8
