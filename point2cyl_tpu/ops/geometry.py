@@ -343,6 +343,18 @@ def sketch_projection(
     nrm = jnp.take_along_axis(
         normals[:, None].repeat(k, axis=1), idx[..., None], axis=2
     )
+    return _projection_from(pts, nrm, found, axes, centers, rotation_mode)
+
+
+def _projection_from(
+    pts: jax.Array,
+    nrm: jax.Array,
+    found: jax.Array,
+    axes: jax.Array,
+    centers: jax.Array,
+    rotation_mode: str,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Projection math of :func:`sketch_projection` on pre-gathered rows."""
     if rotation_mode == "reference":
         rot = rotation_to_z_reference(axes)  # (B, K, 3, 3)
     elif rotation_mode == "exact":
@@ -356,7 +368,7 @@ def sketch_projection(
     scale = jnp.max(
         jnp.sqrt(jnp.sum(p2d * p2d, axis=-1) + 1e-20), axis=-1
     )  # (B, K)
-    foundf = found[..., None, None].astype(points.dtype)
+    foundf = found[..., None, None].astype(pts.dtype)
     p2d = p2d * foundf
     n2d = n_rot * foundf
     scales = jnp.where(found, scale, 1.0)
@@ -388,10 +400,63 @@ def extrusion_extents(
     pts = jnp.take_along_axis(
         points[:, None].repeat(k, axis=1), idx[..., None], axis=2
     )  # (B, K, S, 3)
-    pts = pts * found[..., None, None].astype(points.dtype)
+    return _extents_from(pts, found, axes, centers), found
+
+
+def _extents_from(
+    pts: jax.Array,
+    found: jax.Array,
+    axes: jax.Array,
+    centers: jax.Array,
+) -> jax.Array:
+    """Extents math of :func:`extrusion_extents` on pre-gathered rows."""
+    pts = pts * found[..., None, None].astype(pts.dtype)
     centered = pts - centers[:, :, None, :]
     dist = jnp.einsum("bksj,bkj->bks", centered, axes, precision=_HI)
-    return (
-        jnp.stack([jnp.min(dist, axis=-1), jnp.max(dist, axis=-1)], axis=-1),
-        found,
+    return jnp.stack(
+        [jnp.min(dist, axis=-1), jnp.max(dist, axis=-1)], axis=-1
     )
+
+
+def extents_and_sketch_projection(
+    key: jax.Array | None,
+    points: jax.Array,
+    normals: jax.Array,
+    seg_label: jax.Array,
+    bb_labels: jax.Array | None,
+    axes: jax.Array,
+    centers: jax.Array,
+    num_samples: int = 1024,
+    rotation_mode: str = "exact",
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused :func:`extrusion_extents` + :func:`sketch_projection`.
+
+    Bit-identical outputs to calling the two separately with the same
+    arguments (same sampling, same expression graphs on the gathered
+    rows), but the point AND normal rows are fetched by ONE row gather
+    from the concatenated ``[points | normals]`` (B, N, 6) table. On TPU
+    an XLA row gather costs ~8 ns/row regardless of row width (NOTES
+    kernel cost model), so sharing the gather halves the dominant cost
+    of the serving decomposition's post-head stage: the separate calls
+    pay B*K*S rows twice (points CSE'd across the two calls, normals
+    not shareable), the fused one pays it once. Serving path user
+    (``serve/export.py:_decomposition``); equality is pinned by
+    ``tests/test_geometry.py::test_fused_extents_projection_bitwise``.
+
+    Returns:
+      extents: (B, K, 2); p2d: (B, K, S, 2); n2d: (B, K, S, 2);
+      scales: (B, K); found: (B, K).
+    """
+    k = axes.shape[1]
+    masks = segment_masks(seg_label, bb_labels, k)
+    idx, found = sample_segment_points(key, masks, num_samples)
+    tab = jnp.concatenate([points, normals], axis=-1)  # (B, N, 6)
+    rows = jnp.take_along_axis(
+        tab[:, None].repeat(k, axis=1), idx[..., None], axis=2
+    )  # (B, K, S, 6)
+    pts, nrm = rows[..., :3], rows[..., 3:]
+    extents = _extents_from(pts, found, axes, centers)
+    p2d, n2d, scales, found_p = _projection_from(
+        pts, nrm, found, axes, centers, rotation_mode
+    )
+    return extents, p2d, n2d, scales, found_p

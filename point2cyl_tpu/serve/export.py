@@ -140,8 +140,7 @@ def _decomposition(heads, points, num_sk_points: int, encoder=None,
 
     from point2cyl_tpu.eval.metrics import (base_barrel_probs,
                                              hard_segment_centers)
-    from point2cyl_tpu.ops.geometry import (extrusion_extents,
-                                             sketch_projection)
+    from point2cyl_tpu.ops.geometry import extents_and_sketch_projection
     from point2cyl_tpu.ops.linalg import estimate_extrusion_axis
     from point2cyl_tpu.ops.matching import hard_w_encoding
 
@@ -157,14 +156,13 @@ def _decomposition(heads, points, num_sk_points: int, encoder=None,
         heads.normals, heads.w_barrel, heads.w_base
     )  # (B, K, 3), eval.py:397 full-prediction branch
     centers, _ = hard_segment_centers(points, w_hard)  # eval.py:409-436
-    extents, _ = extrusion_extents(
-        None, points, labels, bb_labels, axes, centers,
-        num_samples=num_sk_points,
-    )  # eval.py:456
-    p2d, n2d, scales, found_p = sketch_projection(
+    # eval.py:456 + eval.py:498 (pred branch), fused: one segment sample,
+    # ONE [points|normals] row gather (bit-identical to the separate ops;
+    # halves the post-head gather cost — see extents_and_sketch_projection)
+    extents, p2d, n2d, scales, found_p = extents_and_sketch_projection(
         None, points, heads.normals, labels, bb_labels, axes, centers,
         num_samples=num_sk_points,
-    )  # eval.py:498 pred branch
+    )
     out = {
         "axes": axes,
         "centers": centers,

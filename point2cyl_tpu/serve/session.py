@@ -80,9 +80,12 @@ class InferenceSession:
             }
         self._buckets = sorted(self._calls)
         self._devices = list(devices) if devices else [None]
-        # Weights live on every serving device once, up front.
+        # Weights live on every serving device once, up front (None =
+        # backend default device; device_put either way — host-resident
+        # weights would otherwise re-upload per call).
         self._dev_weights = [
-            art.weights if d is None else jax.device_put(art.weights, d)
+            jax.device_put(art.weights) if d is None
+            else jax.device_put(art.weights, d)
             for d in self._devices
         ]
         # Round-robin cursor persists ACROSS requests: a stream of
@@ -333,14 +336,19 @@ class InferenceSession:
                     (b, self.num_points, 3), dtype=np.float32)
                 for _ in range(max(1, pool) - 1)
             ]
+            # staged = DEVICE-resident: None means the backend default
+            # device, and the put must still happen — a numpy array here
+            # silently re-uploads the full batch on EVERY call (6.3 MB at
+            # B=64/N=8192: ~300 ms/request over the dev tunnel, measured
+            # as the 177-217 clouds/s plateau that no sync mode fixed)
             dev_pts = [
-                [p if d is None else jax.device_put(p, d)
+                [jax.device_put(p) if d is None else jax.device_put(p, d)
                  for p in pool_pts]
                 for d in self._devices
             ]
             self._pool_i = 0
 
-            def dispatch():
+            def dispatch(copy: bool = True):
                 d = self._next_dev
                 self._next_dev = (d + 1) % len(self._devices)
                 p = dev_pts[d][self._pool_i % len(dev_pts[d])]
@@ -348,8 +356,9 @@ class InferenceSession:
                 out = call(self._dev_weights[d], p)
                 sel = {k: v for k, v in out.items()
                        if k in keys or k == "_sync"}
-                for v in sel.values():
-                    v.copy_to_host_async()
+                if copy:
+                    for v in sel.values():
+                        v.copy_to_host_async()
                 return sel
 
             def materialize(sel):
@@ -357,11 +366,15 @@ class InferenceSession:
 
             if sync == "chain" and self.retraced:
                 def run(n):
-                    acc = None
-                    for _ in range(n):
-                        s = dispatch()["_sync"]
-                        acc = s if acc is None else acc + s
-                    float(acc)  # single host sync fences every request
+                    # NO per-request host traffic: even a 4-byte
+                    # copy_to_host_async costs one tunnel RTT per request
+                    # on the remote dev backend (measured: 217 clouds/s
+                    # with it vs the ~62 ms device program). Dispatch all
+                    # n requests async, then ONE stack+sum+fetch fences
+                    # every program in the run.
+                    accs = [dispatch(copy=False)["_sync"]
+                            for _ in range(n)]
+                    float(jnp.stack(accs).sum())
             elif pipeline > 0:
                 def run(n):
                     inflight: list = []

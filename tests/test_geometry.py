@@ -173,3 +173,40 @@ def test_add_noise_moves_along_normals():
     )
     assert (noisy[..., 1:] == 0).all()
     assert noisy[..., 0].std() > 0
+
+
+def test_fused_extents_projection_bitwise():
+    """extents_and_sketch_projection == the two separate ops, bitwise.
+
+    The fused op shares one [points|normals] row gather (the serving
+    decomposition's hot path); its contract is exact equality with the
+    separate calls for every output, both key modes, both rotation modes.
+    """
+    from point2cyl_tpu.ops.geometry import extents_and_sketch_projection
+
+    b, n, k, s = 2, 256, 4, 64
+    pts = jnp.asarray(RNG.normal(size=(b, n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rand_units(b * n).reshape(b, n, 3))
+    seg = jnp.asarray(RNG.integers(0, k, (b, n)).astype(np.int32))
+    bb = jnp.asarray(RNG.integers(0, 2, (b, n)).astype(np.int32))
+    axes = jnp.asarray(rand_units(b * k).reshape(b, k, 3))
+    centers = jnp.asarray(RNG.normal(size=(b, k, 3)).astype(np.float32))
+    for key in (None, jax.random.key(7)):
+        for mode in ("exact", "reference"):
+            ext_ref, found_ref = extrusion_extents(
+                key, pts, seg, bb, axes, centers, num_samples=s
+            )
+            p2d_ref, n2d_ref, sc_ref, fp_ref = sketch_projection(
+                key, pts, nrm, seg, bb, axes, centers,
+                num_samples=s, rotation_mode=mode,
+            )
+            ext, p2d, n2d, sc, fp = extents_and_sketch_projection(
+                key, pts, nrm, seg, bb, axes, centers,
+                num_samples=s, rotation_mode=mode,
+            )
+            np.testing.assert_array_equal(np.asarray(ext), ext_ref)
+            np.testing.assert_array_equal(np.asarray(p2d), p2d_ref)
+            np.testing.assert_array_equal(np.asarray(n2d), n2d_ref)
+            np.testing.assert_array_equal(np.asarray(sc), sc_ref)
+            np.testing.assert_array_equal(np.asarray(fp), fp_ref)
+            np.testing.assert_array_equal(np.asarray(fp), found_ref)

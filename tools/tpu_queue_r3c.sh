@@ -25,7 +25,9 @@ run() {
   local to=$1 name=$2; shift 2
   echo "=== $name start $(date -u +%H:%M:%S): $*"
   timeout "$to" "$@" > "$LOG/$name.log" 2>&1
-  echo "=== $name exit=$? $(date -u +%H:%M:%S)"
+  local rc=$?
+  echo "=== $name exit=$rc $(date -u +%H:%M:%S)"
+  return $rc
 }
 
 # 1. kernel-VJP drive
@@ -46,10 +48,19 @@ done
 #     as the round-2 300-epoch run whose checkpoint was lost)
 run 7200 pc300 p2c-train --synthetic 256 --num_epochs 300 \
   --batch_size 16 $HEADS --seed 3 --logdir "$LOG/pc300"
+pc300_ok=$?
 
 # 3b. IGR pretrain at B=4 (redo of the B=16 HBM OOM)
 run 7200 igr_b4 p2c-train-joint --pretrain_im --synthetic 256 \
   --num_epochs 60 --batch_size 4 --seed 3 --logdir "$LOG/igr_b4"
+igr_ok=$?
+
+# 3c/3d are gated on 3a+3b succeeding: a staged joint run initialized
+# from a missing/partial checkpoint burns ~2h of serialized chip time
+# on an invalid run (ADVICE r3).
+if [[ $pc300_ok -ne 0 || $igr_ok -ne 0 ]]; then
+  echo "=== SKIP joint_b4/joint_eval: pc300 rc=$pc300_ok igr_b4 rc=$igr_ok"
+else
 
 # 3c. staged joint run, reference recipe (README.md:40-42 staging)
 run 7200 joint_b4 p2c-train-joint --synthetic 256 --num_epochs 60 \
@@ -65,6 +76,8 @@ run 3600 joint_eval p2c-eval --logdir "$LOG/joint_b4" \
 run 2400 joint_visu p2c-visualize --logdir "$LOG/joint_b4" \
   --im_logdir "$LOG/joint_b4" --synthetic --seed 0 --model_id 0 \
   --resolution 256 --dump_dir "$LOG/visu" --output_dir "$LOG/visu_out"
+
+fi  # pc300_ok && igr_ok
 
 # 4. serving smoke on the real chip + B=128 inference probe
 run 1500 serve_smoke python bench.py --serve-only --batch 16
