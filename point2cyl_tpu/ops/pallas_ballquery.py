@@ -13,29 +13,35 @@ Selection (round-2 rewrite), two paths sharing one rank-compaction core:
   the reference semantics of ``pointnet_util.py:87-107``.
 * **Blocked path** (larger N): the N candidates split into 128-lane index
   blocks; the kernel extracts the first ``ncand`` in-radius indices per
-  block (vectorized over all blocks), ordered breadth-first (every
-  block's 1st candidate, then every block's 2nd, ...), and compaction
-  packs the first ``nsample`` valid candidates into the output.
+  block (vectorized over all blocks), and compaction packs the
+  ``nsample`` smallest valid candidates IN GLOBAL INDEX ORDER into the
+  output — the reference's selection order. The result equals the
+  reference set exactly unless a consumed block holds more than
+  ``ncand`` in-radius points among the first ``nsample``; only then does
+  per-block clipping substitute later-block candidates. (Earlier rounds
+  selected in breadth-first candidate order — every block's 1st, then
+  every block's 2nd, ... — an ordering the reference never produces;
+  index-order compaction is both more faithful and cheaper, see
+  ``_compact``.)
 
-Compaction = one (M, M) triangular matmul on the MXU for cumulative
-ranks + a one-hot masked row-sum per output slot. Short rows pad with
-the query's first selected index, which in both paths is the globally
-smallest in-radius index — mirroring the reference's first-index padding
-at ``pointnet_util.py:104-106``.
+Compaction = one (nblocks, nblocks) triangular matmul on the MXU for
+exclusive cross-block prefix counts + one slot-rank equality reduction.
+Short rows pad with the query's first selected index, which in both
+paths is the globally smallest in-radius index — mirroring the
+reference's first-index padding at ``pointnet_util.py:104-106``.
 
 Distribution argument for the blocked path: the input pipeline randomly
 permutes point order per sample (``dataloader.py:71-75``), so in-radius
-points land uniformly across index blocks and breadth-first per-block
-selection is a uniform subset of the in-radius set — the same argument
-that licenses the ``approx_max_k`` XLA path. Unlike the round-1
-one-per-block kernel (~27% duplicate neighbors when blocks were empty,
-measured to hurt training: final loss 2.17 vs 1.82), the ~4x candidate
-oversampling makes a padding duplicate require extreme index
-concentration (negligible probability at these shapes); duplicates
-reappear only in the true <nsample-in-radius case where the reference
-pads too. Verified at loss parity: 150-epoch A/B vs the XLA path,
-seed 7 -> 1.462 vs 1.336 and seed 11 -> 2.232 vs 2.586 — one pair each
-way, within seed noise (NOTES.md round-3 item 5).
+points land uniformly across index blocks and clipping a block at
+``ncand`` (~4x oversampled vs the nsample/nblocks mean) is rare. Unlike
+the round-1 one-per-block kernel (~27% duplicate neighbors when blocks
+were empty, measured to hurt training: final loss 2.17 vs 1.82), a
+padding duplicate requires extreme index concentration (negligible
+probability at these shapes); duplicates reappear only in the true
+<nsample-in-radius case where the reference pads too. Loss-parity
+evidence vs the XLA path: NOTES.md round-4 (index-order selection; the
+earlier breadth-first kernel measured seed 7 -> 1.462 vs 1.336, seed
+11 -> 2.232 vs 2.586, within seed noise).
 """
 
 from __future__ import annotations
@@ -78,48 +84,57 @@ def _exact_d(q, p, channels_first=True):
     return d
 
 
-def _compact(cand, valid, nsample):
-    """Pack the first ``nsample`` valid candidates of each row into
-    output slots; pad short rows with the first valid candidate.
+def _compact(cand, valid, clamped, nsample):
+    """Pack the ``nsample`` smallest-global-index valid candidates of
+    each row into output slots; pad short rows with the first one.
 
-    cand/valid: (TQ, M) float32 (valid is 0/1). Returns (TQ, nsample)
-    int32.
+    cand/valid: (TQ, M) float32 (valid is 0/1), columns breadth-first
+    (every block's 1st candidate, then every block's 2nd, ...);
+    clamped: (TQ, nblocks) float32 per-block VALID candidate counts,
+    already clamped to ncand = M // nblocks. Returns (TQ, nsample) int32.
+
+    Selection is in GLOBAL INDEX ORDER, not column order: candidate c of
+    block jj (a small integer pair) has index-order rank
+    ``excl[jj] + c + 1`` where ``excl`` is the exclusive cross-block
+    prefix sum of ``clamped`` — all of block jj's points precede all of
+    block jj+1's, and within a block valid candidates are lane-ordered.
+    That rank is computed with ONE strictly-triangular
+    (nblocks, nblocks) matmul (16x fewer MXU FLOPs than the former
+    inclusive (M, M) rank over individual candidate bits, which selected
+    in breadth-first COLUMN order — a selection the reference never
+    produces). Ranks of valid candidates are distinct and dense in
+    [1, total]; zeroing invalid ranks lets one (TQ, NS, M) equality
+    against slot+1 find every slot's candidate — 3 wide fused passes
+    (compare, multiply, reduce; slots on the SUBLANE axis, M a
+    128-multiple on the lane axis so nothing pads) vs the 5 of the
+    former pos-count + lane-one-hot form.
     """
     tq, m = cand.shape
-    # Inclusive cumulative rank via one triangular matmul. DEFAULT (bf16)
-    # precision is exact here: operands are 0/1 and accumulation happens
-    # in f32 (ranks are small integers).
+    nblocks = clamped.shape[1]
+    ncand = m // nblocks
+    # DEFAULT (bf16) matmul precision is exact here: operands are small
+    # integers and accumulation happens in f32.
     tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (nblocks, nblocks), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (nblocks, nblocks), 1)
     ).astype(jnp.float32)
-    rank = jax.lax.dot_general(
-        valid, tri,
+    excl = jax.lax.dot_general(
+        clamped, tri,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (TQ, M)
-    total = rank[:, m - 1 : m]  # (TQ, 1) valid-candidate count
-    # Slot r's candidate sits at column pos = #(m: rank <= r): rank is an
-    # inclusive prefix count that increments by exactly 1 at each valid
-    # column, so the first column with rank == r+1 IS the (r+1)-th valid
-    # one. All slots count at once as a (TQ, NS, M) broadcast
-    # compare+reduce — slots on the SUBLANE axis, M (a 128-multiple) on
-    # the lane axis, so nothing pads. (A round-2 attempt with slots as
-    # the MINOR dim measured 8x padded traffic and lost; the 64-slot 2D
-    # loop it fell back to was issue-bound at ~2.2 ms — ~192 tiny VPU
-    # ops per program. This form is ~6 wide fused passes.)
+    )  # (TQ, nblocks) exclusive prefix of valid-candidate counts
+    total = excl[:, nblocks - 1 :] + clamped[:, nblocks - 1 :]  # (TQ, 1)
+    # Inclusive index-order rank per column (breadth-first layout like
+    # cand/valid: the c-th concat piece holds every block's candidate c);
+    # invalid candidates rank 0 so the slot equality below cannot hit
+    # them (their excl[jj]+c+1 value CAN collide with a valid rank).
+    rank = jnp.concatenate(
+        [excl + jnp.float32(c + 1) for c in range(ncand)], axis=1
+    ) * valid  # (TQ, M)
     slot_iota = jax.lax.broadcasted_iota(
         jnp.int32, (tq, nsample, m), 1
     ).astype(jnp.float32)
-    pos = jnp.sum(
-        (rank[:, None, :] <= slot_iota).astype(jnp.float32), axis=2
-    )  # (TQ, NS) column of each slot's candidate; == m when r >= total
-    pos = jnp.minimum(pos, jnp.float32(m - 1))
-    # Gather cand[t, pos[t, r]] the same way: lane-one-hot masked reduce.
-    lane_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (tq, nsample, m), 2
-    ).astype(jnp.float32)
-    sel = (lane_iota == pos[:, :, None]).astype(jnp.float32)
+    sel = (rank[:, None, :] == slot_iota + 1.0).astype(jnp.float32)
     out = jnp.sum(sel * cand[:, None, :], axis=2).astype(jnp.int32)
     found = (
         jax.lax.broadcasted_iota(jnp.int32, (1, nsample), 1).astype(
@@ -127,10 +142,11 @@ def _compact(cand, valid, nsample):
         )
         < total
     )
-    # Slot 0 = first valid candidate = globally smallest in-radius index
-    # (always valid: each query center is within radius of itself).
+    # Slot 0 = rank-1 candidate = globally smallest in-radius index
+    # (always valid: each query center is within radius of itself, and
+    # the smallest in-radius point is its block's candidate 0).
     # total == 0 cannot occur on the live path; keep the old loop's
-    # all-zeros output for that case anyway (pos would point at m-1).
+    # all-zeros output for that case anyway (sel is all-zero then).
     pad = jnp.where(total > 0, out[:, 0:1], 0)
     return jnp.where(found, out, pad)
 
@@ -239,8 +255,9 @@ def _ballquery_kernel(q_ref, p_ref, out_ref, *, radius2: float,
             cands.append(base + jnp.minimum(first, jnp.float32(_BLK - 1)))
         cand = jnp.concatenate(cands, axis=1)  # (TQ, M), breadth-first
         valid = jnp.concatenate(valids, axis=1)
+        clamped = jnp.minimum(counts, jnp.float32(ncand))
 
-    out_ref[0] = _compact(cand, valid, nsample)
+    out_ref[0] = _compact(cand, valid, clamped, nsample)
 
 
 def _ballquery_grouped_kernel(q_ref, p_ref, out_ref, g_ref, *,
@@ -294,8 +311,9 @@ def _ballquery_grouped_kernel(q_ref, p_ref, out_ref, g_ref, *,
         cands.append(base + jnp.minimum(first, jnp.float32(_BLK - 1)))
     cand = jnp.concatenate(cands, axis=1)
     valid = jnp.concatenate(valids, axis=1)
+    clamped = jnp.minimum(counts, jnp.float32(ncand))
 
-    idx = _compact(cand, valid, nsample)  # (TQ, nsample)
+    idx = _compact(cand, valid, clamped, nsample)  # (TQ, nsample)
     out_ref[0] = idx
 
     # --- fused gather: p[idx] - q ---

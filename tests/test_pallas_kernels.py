@@ -310,33 +310,97 @@ def test_exact_counting_compaction_matches_reference_selection():
         np.testing.assert_array_equal(idx, ref)
 
 
-def test_blocked_compaction_matches_slot_semantics():
-    """``_compact`` (the blocked-path rank->slot compaction) must pick
-    the first ``nsample`` VALID candidates in column order, padding
-    short rows with the first valid candidate (zeros when a row has no
-    valid candidate at all) — the exact semantics the per-slot loop it
-    replaced implemented, pinned here bitwise on adversarial masks."""
+def test_blocked_compaction_index_order_semantics():
+    """``_compact`` (the blocked-path compaction) must pick the first
+    ``nsample`` valid candidates in GLOBAL INDEX ORDER — block-major
+    (block 0's candidates, then block 1's, ...), NOT the breadth-first
+    column order of its cand/valid layout — padding short rows with the
+    first valid candidate (zeros when a row has none), pinned bitwise on
+    adversarial per-block count distributions."""
     from point2cyl_tpu.ops.pallas_ballquery import _compact
 
     rng = np.random.default_rng(11)
-    tq, m, ns = 16, 256, 64
-    for density in (0.0, 0.01, 0.2, 0.9):
-        valid = (rng.random((tq, m)) < density).astype(np.float32)
-        valid[0] = 0.0  # force an all-invalid row
-        valid[1] = 1.0  # and a fully-valid one
+    tq, nblocks, ncand, ns = 16, 64, 4, 64
+    m = nblocks * ncand
+    for density in (0.0, 0.05, 0.5, 1.0):
+        counts = rng.binomial(
+            ncand, density, size=(tq, nblocks)
+        ).astype(np.float32)
+        counts[0] = 0.0  # force an all-invalid row
+        counts[1] = ncand  # and a fully-valid one
+        # breadth-first layout: concat piece c holds every block's
+        # candidate c (what the kernels build)
+        valid = np.zeros((tq, m), np.float32)
+        for c in range(ncand):
+            valid[:, c * nblocks : (c + 1) * nblocks] = counts > c
         cand = rng.integers(0, 8192, size=(tq, m)).astype(np.float32)
         got = np.asarray(
-            jax.jit(lambda c, v: _compact(c, v, ns))(
-                jnp.asarray(cand), jnp.asarray(valid)
+            jax.jit(lambda c, v, cl: _compact(c, v, cl, ns))(
+                jnp.asarray(cand), jnp.asarray(valid), jnp.asarray(counts)
             )
         )
         want = np.zeros((tq, ns), np.int32)
         for t in range(tq):
-            picks = cand[t, valid[t] > 0].astype(np.int32)
+            picks = [
+                int(cand[t, c * nblocks + j])
+                for j in range(nblocks)
+                for c in range(int(counts[t, j]))
+            ]
             k = min(len(picks), ns)
             want[t, :k] = picks[:k]
-            want[t, k:] = picks[0] if len(picks) else 0
+            want[t, k:] = picks[0] if picks else 0
         np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_blocked_index_order_selection():
+    """Blocked-path spec, end-to-end: the output equals the first
+    ``nsample`` IN GLOBAL INDEX ORDER of the candidate set (first
+    ``ncand`` in-radius lanes per 128-block), with first-index padding —
+    i.e. exactly the reference selection (``pointnet_util.py:87-107``)
+    whenever per-block clipping doesn't bite, which the test asserts is
+    the common case. The grouped kernel must share the selection."""
+    B, N, S, NS = 2, 2048, 96, 32
+    nblocks = N // 128
+    ncand = max(1, -(-4 * NS // nblocks))  # kernel policy, _OVERSAMPLE=4
+    pts = RNG.normal(size=(B, N, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    q = pts[:, :S]
+    radius = 0.3
+    idx = np.asarray(
+        ball_query_pallas(
+            radius, NS, jnp.asarray(pts), jnp.asarray(q), tile_q=32,
+            interpret=True,
+        )
+    )
+    # f32 in-radius test, same exact-difference arithmetic as the kernel
+    d = np.zeros((B, S, N), np.float32)
+    for c in range(3):
+        dc = q[:, :, None, c] - pts[:, None, :, c]
+        d += dc * dc
+    within = d <= np.float32(radius * radius)
+    full_match = 0
+    for b in range(B):
+        for s in range(S):
+            lanes = np.nonzero(within[b, s])[0]
+            cands = [
+                i
+                for j0 in range(0, N, 128)
+                for i in lanes[(lanes >= j0) & (lanes < j0 + 128)][:ncand]
+            ]
+            want = cands[:NS]
+            exp = np.full(NS, want[0], dtype=np.int64)
+            exp[: len(want)] = want
+            np.testing.assert_array_equal(idx[b, s], exp)
+            if list(want) == list(lanes[:NS]):
+                full_match += 1
+    # per-block clipping (the only deviation from reference selection)
+    # must be rare at the 4x oversampling these shapes get
+    assert full_match >= 0.9 * B * S, (full_match, B * S)
+    gidx, _ = ball_query_grouped_pallas(
+        radius, NS, jnp.asarray(pts), jnp.asarray(q), tile_q=32,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(gidx), idx)
 
 
 def test_auto_dispatch_gates_mirror_kernel_constraints():
