@@ -74,8 +74,12 @@ def farthest_point_sample_pallas(
     # (1, b_tile) whose LANE dim b_tile (e.g. 64 when B=128 tiles for
     # VMEM) is neither 128-divisible nor full-width — Mosaic rejects it.
     # The (b_tile, 1) sublane block is legal at every tiled batch size.
+    # Draw (b,) — the SAME RNG stream as ops/sampling.py's XLA path, so
+    # one key picks identical start points under either fps_impl — and
+    # reshape to the kernel's (b, 1) VMEM layout afterwards.
     if key is not None:
-        start = jax.random.randint(key, (b, 1), 0, n, dtype=jnp.int32)
+        start = jax.random.randint(key, (b,), 0, n, dtype=jnp.int32)
+        start = start.reshape(b, 1)
     else:
         start = jnp.full((b, 1), start_idx, dtype=jnp.int32)
     # indices carry no gradients (the reference's FPS indices don't
