@@ -49,13 +49,11 @@ class SetAbstraction(nn.Module):
     @nn.compact
     def __call__(self, xyz, feats, train: bool, bn_momentum=0.1):
         fps_key = self.make_rng("sample") if train else None
-        # NOTE: with a key (train mode), the two implementations draw
-        # their random start indices in different layouts — (b,) in
-        # ops/sampling.py vs the kernel's (b, 1) VMEM layout — so the
-        # same key yields DIFFERENT start points across fps_impl choices
-        # (and across pre/post-bc21477 builds). Deterministic-start
-        # (eval) results are identical; random-start runs are seed-level
-        # reproducible only within one implementation.
+        # NOTE: both implementations draw the random start indices from
+        # the same (b,)-shaped stream (pallas_fps reshapes to its (b, 1)
+        # VMEM layout only after drawing), so one key picks identical
+        # start points under either fps_impl; random-start runs are
+        # seed-level reproducible across implementations.
         use_pallas_fps = self.fps_impl == "pallas" or (
             self.fps_impl == "auto" and jax.default_backend() != "cpu"
         )

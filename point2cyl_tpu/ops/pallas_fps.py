@@ -74,9 +74,10 @@ def farthest_point_sample_pallas(
     # (1, b_tile) whose LANE dim b_tile (e.g. 64 when B=128 tiles for
     # VMEM) is neither 128-divisible nor full-width — Mosaic rejects it.
     # The (b_tile, 1) sublane block is legal at every tiled batch size.
-    # Draw (b,) — the SAME RNG stream as ops/sampling.py's XLA path, so
-    # one key picks identical start points under either fps_impl — and
-    # reshape to the kernel's (b, 1) VMEM layout afterwards.
+    # Draw (b,) to document/guarantee stream parity with
+    # ops/sampling.py's XLA path (threefry bits depend only on the flat
+    # element count, so (b,) and (b, 1) draws are bit-identical anyway),
+    # then reshape to the kernel's (b, 1) VMEM layout.
     if key is not None:
         start = jax.random.randint(key, (b,), 0, n, dtype=jnp.int32)
         start = start.reshape(b, 1)
