@@ -91,17 +91,32 @@ def resolve_igr_chunk(flag: int, m: int) -> int | None:
 
 
 def make_joint_optimizer(cfg: TrainConfig, is_pc_train: bool,
-                         is_im_train: bool):
+                         is_im_train: bool, lr_step_offset: int = 0):
     """Per-net learning rates with freeze masks
-    (``train_Point2Cyl.py:298-321``)."""
+    (``train_Point2Cyl.py:298-321``).
+
+    ``lr_step_offset`` shifts the backbone's staircase by that many
+    optimizer steps. The reference resets global_step to 0 when the
+    joint stage starts (``train_Point2Cyl.py`` re-creates the step
+    counter), which restarts a converged backbone at the full initial
+    lr; ``--init_global_step`` lets the staircase continue from the
+    trainer-A step instead. Offset units are optimizer steps at THIS
+    trainer's batch size — if trainer A ran at a different batch size,
+    scale by bs_A/bs_joint to keep the sample-based staircase aligned.
+    """
+    pc_sched = make_optax_lr_schedule(
+        cfg.batch_size, cfg.learning_rate, cfg.decay_step, cfg.decay_rate,
+    )
+    if lr_step_offset:
+        base_sched = pc_sched
+
+        def pc_sched(count, _base=base_sched):  # noqa: F811
+            return _base(count + lr_step_offset)
+
     tx = optax.multi_transform(
         {
-            "pc": optax.adam(
-                make_optax_lr_schedule(
-                    cfg.batch_size, cfg.learning_rate, cfg.decay_step,
-                    cfg.decay_rate,
-                )
-            ) if is_pc_train else optax.set_to_zero(),
+            "pc": optax.adam(pc_sched) if is_pc_train
+            else optax.set_to_zero(),
             "enc": optax.adam(IM_LR) if is_im_train else optax.set_to_zero(),
         },
         {"pc": "pc", "enc": "enc"},
@@ -362,6 +377,7 @@ def staged_init_restore(
     im_logdir: str,
     im_ckpt_name: str,
     log=print,
+    carry_step: bool = False,
 ) -> JointTrainState:
     """The staged-recipe initialization (``train_Point2Cyl.py:329-344``):
     trainer-A backbone into pc_*, IGR-pretrain decoder+encoder into
@@ -391,6 +407,13 @@ def staged_init_restore(
         state = state.replace(
             pc_params=loaded.params, pc_bn=loaded.batch_stats
         )
+        if carry_step:
+            # --init_global_step -1: continue the lr/bn staircases from
+            # the trainer-A step instead of the reference's reset-to-0
+            state = state.replace(
+                step=jnp.asarray(jax.device_get(loaded.step), jnp.int32)
+            )
+            log(f"carrying trainer-A global step {int(state.step)}")
         log("3D model loaded.")
     im_mgr = CheckpointManager(im_logdir)
     if im_mgr.exists(im_ckpt_name):
@@ -460,6 +483,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pc_ckpt", default="model")
     p.add_argument("--im_logdir", default="results/IGR_dense")
     p.add_argument("--im_ckpt", default="model")
+    p.add_argument("--init_global_step", type=int, default=0,
+                   help="starting global step for the lr/bn staircases: "
+                   "0 = reference behavior (reset; train_Point2Cyl.py "
+                   "re-creates the counter at the joint stage), -1 = "
+                   "continue from the staged trainer-A checkpoint's "
+                   "step (requires --is_pc_init), >0 = explicit. Step "
+                   "units are optimizer steps at THIS run's batch size.")
     p.add_argument("--is_L2", action="store_true")
     p.add_argument("--with_im_loss", action="store_true")
     p.add_argument("--use_whole_pc", action="store_true")
@@ -622,7 +652,23 @@ def cli_main() -> None:
     state = staged_init_restore(
         state, cfg, args.is_pc_init, args.pc_logdir, args.pc_ckpt,
         args.is_im_init, args.im_logdir, args.im_ckpt, logger.log,
+        carry_step=args.init_global_step == -1,
     )
+    if args.init_global_step > 0:
+        state = state.replace(step=jnp.int32(args.init_global_step))
+    step_offset = int(state.step)
+    if step_offset:
+        # rebuild the optimizer so the pc lr staircase starts at the
+        # carried step (the fresh opt_state is zeros either way)
+        tx = make_joint_optimizer(
+            cfg, args.is_pc_train, args.is_im_train,
+            lr_step_offset=step_offset,
+        )
+        state = state.replace(
+            opt_state=tx.init(
+                {"pc": state.pc_params, "enc": state.enc_params}
+            )
+        )
 
     train_step = make_joint_train_step(
         backbone, implicit, encoder, loaded_encoder, cfg, tx,

@@ -229,3 +229,35 @@ def test_latent_loss_modes():
     mask = jnp.ones((2, 3), bool)
     assert float(latent_loss(lat, lat, mask, use_l2=True)) < 1e-10
     assert abs(float(latent_loss(lat, lat, mask, use_l2=False))) < 1e-5
+
+
+def test_lr_step_offset_shifts_pc_staircase():
+    """--init_global_step continues the backbone lr staircase instead of
+    the reference's reset-to-0 (train_Point2Cyl.py re-creates the step
+    counter at the joint stage)."""
+    cfg = TrainConfig(
+        batch_size=8, decay_step=16, decay_rate=0.7,
+        logdir=tempfile.mkdtemp(),
+    )
+    params = {"pc": {"w": jnp.ones((4,))}, "enc": {"w": jnp.ones((4,))}}
+    grads = {"pc": {"w": jnp.full((4,), 2.0)},
+             "enc": {"w": jnp.full((4,), 2.0)}}
+
+    def first_update_mag(tx):
+        opt_state = tx.init(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        return float(jnp.abs(updates["pc"]["w"]).mean())
+
+    base = first_update_mag(TJ.make_joint_optimizer(cfg, True, True))
+    # offset 4 steps x bs 8 / decay_step 16 => two staircase decays
+    shifted = first_update_mag(
+        TJ.make_joint_optimizer(cfg, True, True, lr_step_offset=4)
+    )
+    # adam's first update magnitude ~= lr (g/sqrt(g^2) = 1)
+    np.testing.assert_allclose(base, cfg.learning_rate, rtol=1e-3)
+    np.testing.assert_allclose(shifted, base * 0.7**2, rtol=1e-3)
+    # offset 0 keeps the default path bit-identical
+    np.testing.assert_allclose(
+        first_update_mag(TJ.make_joint_optimizer(cfg, True, True, 0)),
+        base, rtol=0,
+    )
