@@ -418,6 +418,55 @@ def _extents_from(
     )
 
 
+def _sample_segment_rows_disjoint(
+    key: jax.Array | None,
+    tab: jax.Array,
+    seg_label: jax.Array,
+    bb_labels: jax.Array,
+    k: int,
+    num_samples: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-segment row sampling for DISJOINT barrel masks via one sort.
+
+    Bit-equivalent to ``sample_segment_points(key, segment_masks(...))``
+    followed by a row gather, at ~1/Kth the sort cost and without the
+    (B, K, N, row) repeat: one stable (B, N) sort by
+    ``member ? label : K`` lays each segment's members contiguously in
+    ascending point order (the order every per-segment
+    ``argsort(~mask)`` yields), so segment k's j-th draw is sorted row
+    ``starts[k] + (draw % count)``. The PRNG draw shapes/bounds match
+    ``sample_segment_points`` exactly, so randomized (keyed) sampling is
+    also bit-identical.
+
+    Returns (rows (B, K, S, C), found (B, K)).
+    """
+    b, n, _ = tab.shape
+    sort_key = jnp.where(bb_labels == 0, seg_label, k).astype(jnp.int32)
+    perm = jnp.argsort(sort_key, axis=-1, stable=True)  # (B, N)
+    counts = jnp.sum(
+        sort_key[:, None, :] == jnp.arange(k)[None, :, None], axis=-1
+    )  # (B, K)
+    starts = jnp.cumsum(counts, axis=-1) - counts  # exclusive prefix
+    if key is None:
+        r = jnp.arange(num_samples, dtype=jnp.int32)[None, None, :] % (
+            jnp.maximum(counts, 1)[..., None]
+        )
+    else:
+        r = jax.random.randint(
+            key, (b, k, num_samples), 0, jnp.maximum(counts, 1)[..., None]
+        )
+    pos = (starts[..., None] + r).reshape(b, k * num_samples)
+    sorted_tab = jnp.take_along_axis(tab, perm[..., None], axis=1)
+    rows = jnp.take_along_axis(sorted_tab, pos[..., None], axis=1)
+    rows = rows.reshape(b, k, num_samples, -1)
+    # empty segment: the masked path's argsort over an all-false mask is
+    # arange, so it gathers point 0 — pin the same fallback row
+    rows = jnp.where(
+        (counts == 0)[..., None, None], tab[:, 0][:, None, None, :], rows
+    )
+    return rows, counts > 1
+
+
 def extents_and_sketch_projection(
     key: jax.Array | None,
     points: jax.Array,
@@ -448,12 +497,28 @@ def extents_and_sketch_projection(
       scales: (B, K); found: (B, K).
     """
     k = axes.shape[1]
-    masks = segment_masks(seg_label, bb_labels, k)
-    idx, found = sample_segment_points(key, masks, num_samples)
     tab = jnp.concatenate([points, normals], axis=-1)  # (B, N, 6)
-    rows = jnp.take_along_axis(
-        tab[:, None].repeat(k, axis=1), idx[..., None], axis=2
-    )  # (B, K, S, 6)
+    if bb_labels is not None:
+        # Disjoint-segment fast path: the (B, K, N) per-segment argsort
+        # repeats the same sort K times (segment-k membership masks are
+        # disjoint barrel subsets), and the (B, K, N, 6) repeat+gather
+        # materializes a 100 MB intermediate at serve shapes. ONE stable
+        # (B, N) sort by (member? label : K) lays every segment's
+        # members out contiguously in ascending point order — exactly
+        # the order each per-segment argsort yields — so sample j of
+        # segment k is sorted row starts[k] + (draw % count). Outputs
+        # are bit-identical to the masked path (same draws, same
+        # gathered rows, same math; the count==0 fallback row is pinned
+        # to point 0 below, matching argsort(~all_false) = arange).
+        rows, found = _sample_segment_rows_disjoint(
+            key, tab, seg_label, bb_labels, k, num_samples
+        )
+    else:
+        masks = segment_masks(seg_label, bb_labels, k)
+        idx, found = sample_segment_points(key, masks, num_samples)
+        rows = jnp.take_along_axis(
+            tab[:, None].repeat(k, axis=1), idx[..., None], axis=2
+        )  # (B, K, S, 6)
     pts, nrm = rows[..., :3], rows[..., 3:]
     extents = _extents_from(pts, found, axes, centers)
     p2d, n2d, scales, found_p = _projection_from(

@@ -210,3 +210,38 @@ def test_fused_extents_projection_bitwise():
             np.testing.assert_array_equal(np.asarray(sc), sc_ref)
             np.testing.assert_array_equal(np.asarray(fp), fp_ref)
             np.testing.assert_array_equal(np.asarray(fp), found_ref)
+
+
+def test_fused_extents_projection_bitwise_degenerate_segments():
+    """The disjoint-sort fast path must match the masked path bitwise
+    even for empty (count==0, fallback row = point 0) and single-member
+    (count==1, found=False) segments."""
+    from point2cyl_tpu.ops.geometry import extents_and_sketch_projection
+
+    b, n, k, s = 2, 128, 4, 32
+    pts = jnp.asarray(RNG.normal(size=(b, n, 3)).astype(np.float32))
+    nrm = jnp.asarray(rand_units(b * n).reshape(b, n, 3))
+    # segment 3 never appears; segment 2 has exactly one barrel member
+    seg = jnp.asarray(RNG.integers(0, 2, (b, n)).astype(np.int32))
+    seg = seg.at[:, 5].set(2)
+    bb = jnp.zeros((b, n), jnp.int32).at[:, 6:10].set(1)
+    axes = jnp.asarray(rand_units(b * k).reshape(b, k, 3))
+    centers = jnp.asarray(RNG.normal(size=(b, k, 3)).astype(np.float32))
+    for key in (None, jax.random.key(11)):
+        ext_ref, found_ref = extrusion_extents(
+            key, pts, seg, bb, axes, centers, num_samples=s
+        )
+        p2d_ref, n2d_ref, sc_ref, fp_ref = sketch_projection(
+            key, pts, nrm, seg, bb, axes, centers, num_samples=s
+        )
+        ext, p2d, n2d, sc, fp = extents_and_sketch_projection(
+            key, pts, nrm, seg, bb, axes, centers, num_samples=s
+        )
+        assert not bool(jnp.any(fp[:, 3]))  # empty segment unfound
+        assert not bool(jnp.any(fp[:, 2]))  # single member => unfound
+        np.testing.assert_array_equal(np.asarray(ext), ext_ref)
+        np.testing.assert_array_equal(np.asarray(p2d), p2d_ref)
+        np.testing.assert_array_equal(np.asarray(n2d), n2d_ref)
+        np.testing.assert_array_equal(np.asarray(sc), sc_ref)
+        np.testing.assert_array_equal(np.asarray(fp), fp_ref)
+        np.testing.assert_array_equal(np.asarray(fp), found_ref)
