@@ -23,6 +23,11 @@ for sd in 5 6 7 8 9 10; do
     echo "=== skip seed $sd: no staging checkpoint"
     continue
   fi
+  # proxy-trainer eval (regenerates the repo side of the 9v9 proxy
+  # table with committed logs — VERDICT r4 #3)
+  run 1800 ab_eval_repo_s$sd $P2C_EVAL --logdir "$R/ab_repo_s$sd" \
+    --data_dir ab_data --data_split test --num_point 512 \
+    --batch_size 8 --no_implicit --seed 0
   run 3600 abj_repo_joint_s$sd $P2C_TRAIN_JOINT --data_dir ab_data \
     --data_split train --num_point 512 --num_sk_point 256 \
     --num_epochs 30 --batch_size 8 --seed $sd \
