@@ -21,6 +21,13 @@ set -u
 : "${QDIR:?queue_lib.sh: set QDIR before sourcing}"
 mkdir -p "$QDIR"
 
+# persistent XLA compile cache: queue stages re-compile identical
+# programs (6 staging seeds = 1 program; 6 joints = 1 program); through
+# the remote-compile tunnel each compile is minutes, a cache hit is
+# seconds (verified to work against the axon backend)
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
+
 P2C_TRAIN="python -m point2cyl_tpu.train.train_pc"
 P2C_TRAIN_JOINT="python -m point2cyl_tpu.train.train_joint"
 P2C_EVAL="python -m point2cyl_tpu.eval.evaluator"
