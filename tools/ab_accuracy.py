@@ -580,9 +580,18 @@ def cmd_summary(args) -> None:
             p = 2 * stats.t.sf(abs(t), dof)
         except ImportError:  # normal approximation
             p = math.erfc(abs(t) / math.sqrt(2))
+        try:
+            from scipy import stats as _st
+
+            tcrit = float(_st.t.ppf(0.975, dof))
+        except ImportError:
+            tcrit = 2.0
+        # minimum detectable effect at alpha=0.05 (two-sided), i.e. the
+        # smallest mean gap this n/variance could have called significant
+        mde = tcrit * math.sqrt(va + vb)
         print(f"{c:11} repo {a.mean():.4f}±{a.std(ddof=1):.4f} (n={len(a)})"
               f"  ref {b.mean():.4f}±{b.std(ddof=1):.4f} (n={len(b)})"
-              f"  Welch t={t:+.2f} p={p:.3f}")
+              f"  Welch t={t:+.2f} p={p:.3f} MDE={mde:.4f}")
 
 
 def main() -> None:
