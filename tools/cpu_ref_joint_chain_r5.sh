@@ -25,6 +25,11 @@ wait_for() {  # wait_for <file> <timeout_s>
     sleep 30; t=$((t + 30))
     [[ $t -ge $to ]] && { echo "=== TIMEOUT waiting for $f"; return 1; }
   done
+  # explicit: the until loop's own status is the LAST BODY command's —
+  # '[[ t -ge to ]] && ...' is 1 whenever the deadline wasn't hit, so
+  # success-after-waiting would otherwise return 1 (this exact bug made
+  # the first chain launch exit the moment its dependency appeared)
+  return 0
 }
 
 wait_for "$A/im_pre.pth" 7200 || queue_done
