@@ -85,17 +85,15 @@ def main() -> None:
         total, _ = proxy_losses(heads, batch, cfg)
         return total
 
-    grad_fn = jax.grad(fwd_loss)
-
-    def fwd_bwd(params, bn):
-        return grad_fn(params, bn)
-
     train_step = steps.make_train_step(model, cfg, tx)
 
     stages = {
         "fwd(train)": jax.jit(fwd_only),
         "fwd+loss": jax.jit(fwd_loss),
-        "fwd+loss+bwd": jax.jit(fwd_bwd),
+        # backbone-only backward (trivial sum loss): separates the
+        # model's bwd cost from the loss stack's bwd cost
+        "fwd+bwd(model)": jax.jit(jax.grad(fwd_only)),
+        "fwd+loss+bwd": jax.jit(jax.grad(fwd_loss)),
     }
     report = {}
     for name, fn in stages.items():
@@ -115,7 +113,8 @@ def main() -> None:
     print(f"# B={b} N={n} K={k} dtype={cfg.compute_dtype} "
           f"steps={args.steps}")
     prev = 0.0
-    for name in ["fwd(train)", "fwd+loss", "fwd+loss+bwd", "full step"]:
+    for name in ["fwd(train)", "fwd+loss", "fwd+bwd(model)",
+                 "fwd+loss+bwd", "full step"]:
         ms = report[name] * 1e3
         print(f"{name:16s} {ms:8.2f} ms  (delta {ms - prev:+7.2f} ms)")
         prev = ms
