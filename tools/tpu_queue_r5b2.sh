@@ -9,7 +9,7 @@ QDIR=/root/repo/runs/r5/bq_ab
 source tools/queue_lib.sh
 HEADS="--pred_seg --pred_normal --pred_bb --pred_extrusion --pred_center"
 preflight
-for s in 3 5; do
+for s in 13 17; do
   for impl in pallas xla; do
     run 5400 bq_${impl}_s$s $P2C_TRAIN --synthetic 64 --num_epochs 150 \
       $HEADS --ballquery_impl $impl --seed $s \
