@@ -93,6 +93,14 @@ class BackboneConfig:
     # (diversity-preserving block selection, no O(S*N) HBM traffic — see
     # ops/pallas_ballquery.py) and XLA elsewhere; "xla" / "pallas" force.
     ballquery_impl: str = "auto"
+    # Blocked-path candidate oversampling factor (0 = kernel default, 4).
+    # ncand = ceil(oversample * nsample / nblocks) candidates are kept per
+    # 128-point block; at SA1 production density the default's per-block
+    # clipping picks a different (still in-radius, distributionally
+    # near-uniform) neighbor subset than the reference's
+    # first-nsample-by-index for ~88% of queries (round-5 measurement).
+    # Raise to trade kernel time for selection fidelity.
+    bq_oversample: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -190,6 +198,9 @@ class TrainConfig:
     # Neighbor-op backends forwarded to BackboneConfig ("auto" = fused
     # Pallas kernels on TPU, XLA elsewhere).
     ballquery_impl: str = "auto"
+    # Blocked-path candidate oversampling (0 = kernel default; see
+    # BackboneConfig.bq_oversample).
+    bq_oversample: int = 0
     # Restore the full TrainState from <logdir>/model and continue (the
     # reference has no resume path at all and loses up to 10 epochs on a
     # crash, SURVEY.md section 5).

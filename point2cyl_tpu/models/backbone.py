@@ -45,6 +45,7 @@ class SetAbstraction(nn.Module):
     approx: bool = False
     fps_impl: str = "auto"
     ballquery_impl: str = "auto"
+    bq_oversample: int = 0
 
     @nn.compact
     def __call__(self, xyz, feats, train: bool, bn_momentum=0.1):
@@ -93,7 +94,8 @@ class SetAbstraction(nn.Module):
                 # (the XLA per-row gather was ~16 ms of a 53 ms forward);
                 # custom VJP scatter keeps the training path fused too.
                 _, grouped = ball_query_grouped(
-                    self.radius, self.nsample, xyz, new_xyz
+                    self.radius, self.nsample, xyz, new_xyz,
+                    oversample=self.bq_oversample or None,
                 )
             elif feats is not None and xyz.shape[1] <= _EXACT_N_MAX:
                 # Small-N stage with features: exact-selection kernel
@@ -104,7 +106,8 @@ class SetAbstraction(nn.Module):
                 )
             else:
                 idx = ball_query_pallas(
-                    self.radius, self.nsample, xyz, new_xyz
+                    self.radius, self.nsample, xyz, new_xyz,
+                    oversample=self.bq_oversample or None,
                 )
                 grouped_xyz = (
                     index_points(xyz, idx) - new_xyz[:, :, None, :]
@@ -279,6 +282,7 @@ class Backbone(nn.Module):
                 c.sa_npoints[i], c.sa_radii[i], c.sa_nsamples[i],
                 c.sa_mlps[i], dtype=dtype, approx=c.approx_neighbors,
                 fps_impl=c.fps_impl, ballquery_impl=c.ballquery_impl,
+                bq_oversample=c.bq_oversample,
             )(xyz, f, train=train, bn_momentum=bn_momentum)
             skips.append((xyz, f))
         g_xyz, g_f = GlobalAbstraction(c.sa_global_mlp, dtype=dtype)(

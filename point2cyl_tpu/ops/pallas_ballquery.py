@@ -32,16 +32,29 @@ reference's first-index padding at ``pointnet_util.py:104-106``.
 
 Distribution argument for the blocked path: the input pipeline randomly
 permutes point order per sample (``dataloader.py:71-75``), so in-radius
-points land uniformly across index blocks and clipping a block at
-``ncand`` (~4x oversampled vs the nsample/nblocks mean) is rare. Unlike
-the round-1 one-per-block kernel (~27% duplicate neighbors when blocks
-were empty, measured to hurt training: final loss 2.17 vs 1.82), a
-padding duplicate requires extreme index concentration (negligible
-probability at these shapes); duplicates reappear only in the true
-<nsample-in-radius case where the reference pads too. Loss-parity
-evidence vs the XLA path: NOTES.md round-4 (index-order selection; the
-earlier breadth-first kernel measured seed 7 -> 1.462 vs 1.336, seed
-11 -> 2.232 vs 2.586, within seed noise).
+points land uniformly across index blocks. At SA1 production density
+clipping is NOT rare in the per-query sense — measured on real
+synthetic clouds (N=8192, radius 0.2): ~212 in-radius points per query
+vs ncand=4 per 128-block, so the selected 64-subset differs from the
+reference's first-64-by-index for ~88% of queries (round-5
+measurement). It remains distributionally sound: under the per-epoch
+random permutation both selections are near-uniform random 64-subsets
+of the in-radius set, and each point is equally likely to be chosen by
+symmetry. Unlike the round-1 one-per-block kernel (~27% duplicate
+neighbors when blocks were empty, measured to hurt training: final
+loss 2.17 vs 1.82), a padding duplicate requires extreme index
+concentration; duplicates reappear only in the true
+<nsample-in-radius case where the reference pads too.
+
+Training evidence for the shipping index-order kernel
+(``runs/r5/bq_ab/``, 6 paired 150-epoch seeds vs the XLA path): final
+TRAIN loss runs higher under the kernel (1.665+/-0.117 vs
+1.481+/-0.133, paired p=0.026) — the per-epoch neighbor subsets
+realize differently, changing the optimization trajectory — while
+held-out eval metrics of the same 12 checkpoints do not separate
+(``runs/r5/bq_ab/bqeval_*``; NOTES.md round-5 table). Model quality is
+what the kernel contract guarantees; the train-loss trajectory is not
+bit-comparable by design.
 """
 
 from __future__ import annotations
@@ -543,6 +556,7 @@ def ball_query_pallas(
     new_xyz: jax.Array,
     tile_q: int | None = None,
     interpret: bool = False,
+    oversample: int | None = None,
 ) -> jax.Array:
     """Fused ball query. Args as ``ops.grouping.ball_query``; requires
     N % 128 == 0 (or N <= 1024 and N % 8 == 0) and S % tile_q == 0
@@ -562,7 +576,7 @@ def ball_query_pallas(
     if s % tile_q != 0:
         raise ValueError(f"S={s} must be divisible by tile_q={tile_q}")
     nblocks = max(n // _BLK, 1)
-    ncand = max(1, -(-_OVERSAMPLE * nsample // nblocks))
+    ncand = max(1, -(-(oversample or _OVERSAMPLE) * nsample // nblocks))
     return pl.pallas_call(
         functools.partial(
             _ballquery_kernel, radius2=radius * radius, nsample=nsample,
@@ -595,6 +609,7 @@ def ball_query_grouped_pallas(
     new_xyz: jax.Array,
     tile_q: int | None = None,
     interpret: bool = False,
+    oversample: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused ball query + neighbor gather + centering.
 
@@ -618,7 +633,7 @@ def ball_query_grouped_pallas(
     tile_q = min(tile_q or _auto_tile_q(n), s)
     if s % tile_q != 0:
         raise ValueError(f"S={s} must be divisible by tile_q={tile_q}")
-    ncand = max(1, -(-_OVERSAMPLE * nsample // (n // _BLK)))
+    ncand = max(1, -(-(oversample or _OVERSAMPLE) * nsample // (n // _BLK)))
     idx, grouped = pl.pallas_call(
         functools.partial(
             _ballquery_grouped_kernel, radius2=radius * radius,
@@ -701,7 +716,7 @@ def _bqg_scatter_kernel(idx_ref, dg_ref, out_ref):
         out_ref[0, c] += dp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4, 5, 6))
 def ball_query_grouped(
     radius: float,
     nsample: int,
@@ -709,6 +724,7 @@ def ball_query_grouped(
     new_xyz: jax.Array,
     tile_q: int | None = None,
     interpret: bool = False,
+    oversample: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Differentiable fused ball query + gather + centering.
 
@@ -720,18 +736,20 @@ def ball_query_grouped(
     non-differentiable (they are in the reference too).
     """
     return ball_query_grouped_pallas(
-        radius, nsample, xyz, new_xyz, tile_q=tile_q, interpret=interpret
+        radius, nsample, xyz, new_xyz, tile_q=tile_q, interpret=interpret,
+        oversample=oversample,
     )
 
 
-def _bqg_fwd(radius, nsample, xyz, new_xyz, tile_q, interpret):
+def _bqg_fwd(radius, nsample, xyz, new_xyz, tile_q, interpret, oversample):
     idx, grouped = ball_query_grouped_pallas(
-        radius, nsample, xyz, new_xyz, tile_q=tile_q, interpret=interpret
+        radius, nsample, xyz, new_xyz, tile_q=tile_q, interpret=interpret,
+        oversample=oversample,
     )
     return (idx, grouped), (idx, xyz.shape)
 
 
-def _bqg_bwd(radius, nsample, tile_q, interpret, res, cot):
+def _bqg_bwd(radius, nsample, tile_q, interpret, oversample, res, cot):
     del radius, nsample
     idx, xyz_shape = res
     _, dg = cot  # d_idx is int/zero

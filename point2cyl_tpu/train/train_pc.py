@@ -45,6 +45,7 @@ def build_model(cfg: TrainConfig, num_points: int, k: int) -> Backbone:
             output_sizes=tuple(sizes),
             compute_dtype=cfg.compute_dtype,
             ballquery_impl=cfg.ballquery_impl,
+            bq_oversample=cfg.bq_oversample,
         )
     )
 
@@ -233,6 +234,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="float32")
     p.add_argument("--ballquery_impl", type=str, default="auto",
                    choices=["auto", "xla", "pallas"])
+    p.add_argument("--bq_oversample", type=int, default=0,
+                   help="blocked ball-query candidate oversampling (0 = "
+                   "kernel default 4); raise for reference-faithful "
+                   "selection at SA1 density, at extra kernel cost")
     p.add_argument("--seed", type=int, default=0)
     add_platform_arg(p)
     return p
@@ -266,6 +271,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         data_parallel=args.data_parallel,
         compute_dtype=args.compute_dtype,
         ballquery_impl=args.ballquery_impl,
+        bq_oversample=args.bq_oversample,
         resume=args.resume,
     )
 

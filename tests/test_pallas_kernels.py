@@ -428,3 +428,30 @@ def test_auto_dispatch_gates_mirror_kernel_constraints():
             0.4, nsample, jnp.asarray(pts), jnp.asarray(feats),
             jnp.asarray(q), tile_q=32, interpret=True,
         )
+
+
+def test_blocked_oversample_recovers_reference_selection():
+    """``oversample`` raises ncand until per-block clipping cannot bite:
+    at ncand >= nsample every block can contribute up to nsample
+    candidates, so the blocked path reproduces the reference
+    first-nsample-by-index selection exactly even at dense radii where
+    the default clips (~88% of SA1 queries, round-5 measurement)."""
+    from point2cyl_tpu.ops.grouping import ball_query
+    from point2cyl_tpu.ops.pallas_ballquery import ball_query_pallas
+
+    rng = np.random.default_rng(5)
+    b, n, s, ns = 2, 2048, 64, 16
+    pts = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32) * 0.5)
+    q = pts[:, :s]
+    radius = 0.6  # dense: far more than ncand in-radius per block
+    ref = np.asarray(ball_query(radius, ns, pts, q))
+    dflt = np.asarray(
+        ball_query_pallas(radius, ns, pts, q, tile_q=32, interpret=True)
+    )
+    full = np.asarray(
+        ball_query_pallas(
+            radius, ns, pts, q, tile_q=32, interpret=True, oversample=ns
+        )
+    )
+    assert (dflt != ref).any()  # default clips at this density
+    np.testing.assert_array_equal(full, ref)
