@@ -1,6 +1,7 @@
 #!/bin/bash
 # Serial TPU queue — round 5, part B2: two more ball-query A/B seed
-# pairs (3, 5). The first two pairs left the parity call thin: the s11
+# pairs per invocation (ran for 3,5 then re-pointed at 13,17). The
+# first two pairs left the parity call thin: the s11
 # xla run landed 0.24 below its pallas twin while xla's own cross-seed
 # spread was 0.26 — more seeds pin the noise band before claiming
 # within-seed-noise parity (VERDICT r4 missing #2).
