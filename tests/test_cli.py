@@ -59,3 +59,18 @@ def test_entry_module_imports_do_not_initialize_backend():
     assert proc.returncode == 0 and "LAZY_OK" in proc.stdout, (
         proc.stdout[-500:] + proc.stderr[-500:]
     )
+
+
+def test_bq_oversample_plumbs_to_backbone_config():
+    """--bq_oversample reaches the kernels: TrainConfig -> build_model ->
+    BackboneConfig (the knob is dead weight if any hop drops it)."""
+    from point2cyl_tpu.core.config import TrainConfig
+    from point2cyl_tpu.train.train_pc import build_argparser, build_model
+
+    args = build_argparser().parse_args(
+        ["--bq_oversample", "8", "--pred_seg", "--pred_normal"]
+    )
+    assert args.bq_oversample == 8
+    cfg = TrainConfig(bq_oversample=args.bq_oversample)
+    model = build_model(cfg, 512, 8)
+    assert model.cfg.bq_oversample == 8
